@@ -1,0 +1,193 @@
+"""Camera model and pixel/world transforms — pure JAX, unbatched-(N, ...) first.
+
+Capability parity with the reference's L0 geometry (`model/common.py:13-237,405-457`),
+with one deliberate TPU-first redesign: the reference inverts three 4x4 matrices and
+chains three matmuls per render call (`transform_to_world`, `model/common.py:112-160`);
+here the composition  P = scale_mat^-1 @ world_mat^-1 @ camera_mat^-1  is computed once
+(4x4 work, negligible) and applied to all pixels as a single (N,4)x(4,4) matmul that XLA
+maps straight onto the MXU.
+
+Conventions (identical to the reference — the #1 parity risk, see SURVEY.md §7):
+- pixels live in [-1, 1]^2 with x = 2*px/(W-1) - 1 (`arange_pixels`, common.py:13-40);
+- the camera matrix is  K = [[2fx/W,0,0,0],[0,-2fy/H,0,0],[0,0,-1,0],[0,0,0,1]]
+  (note the negated fy and -1 depth row; `dataloading/dataset.py:83-86`);
+- world_mat = inverse(c2w); scale_mat is usually identity.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def pixel_grid(resolution: Tuple[int, int],
+               image_range: Tuple[float, float] = (-1.0, 1.0),
+               dtype=jnp.float32) -> Tuple[jax.Array, jax.Array]:
+    """Integer pixel locations and scaled [-1,1] coordinates for an H x W image.
+
+    Returns (locations (H*W, 2) int32 as (x, y), scaled (H*W, 2) float).
+    Reference: `arange_pixels`, model/common.py:13-40 (row-major, x fastest).
+    """
+    h, w = resolution
+    ys, xs = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
+    loc = jnp.stack([xs, ys], axis=-1).reshape(-1, 2)
+    scale = image_range[1] - image_range[0]
+    shift = scale / 2.0
+    px = scale * loc[:, 0].astype(dtype) / (w - 1) - shift
+    py = scale * loc[:, 1].astype(dtype) / (h - 1) - shift
+    return loc.astype(jnp.int32), jnp.stack([px, py], axis=-1)
+
+
+def camera_matrix_from_focal(fx: jax.Array, fy: jax.Array) -> jax.Array:
+    """Build the 4x4 normalized camera matrix from focal lengths already expressed in
+    the [-1,1] pixel convention (fx' = 2fx/W, fy' = 2fy/H), as the reference does when
+    the focal is learned (`model/training.py:266-271`): K = diag(fx', -fy', -1, 1)."""
+    fx = jnp.asarray(fx)
+    zero = jnp.zeros_like(fx)
+    one = jnp.ones_like(fx)
+    rows = [
+        jnp.stack([fx, zero, zero, zero], -1),
+        jnp.stack([zero, -fy, zero, zero], -1),
+        jnp.stack([zero, zero, -one, zero], -1),
+        jnp.stack([zero, zero, zero, one], -1),
+    ]
+    return jnp.stack(rows, -2)
+
+
+def intrinsics_ndc(fx: float, fy: float, w: int, h: int) -> jnp.ndarray:
+    """The dataset-side K build (`dataloading/dataset.py:83-86`): pixel-unit focals to
+    the [-1,1] normalized camera matrix."""
+    return camera_matrix_from_focal(jnp.asarray(2.0 * fx / w, jnp.float32),
+                                    jnp.asarray(2.0 * fy / h, jnp.float32))
+
+
+def _compose_cam_to_world(camera_mat: jax.Array, world_mat: jax.Array,
+                          scale_mat: Optional[jax.Array], invert: bool) -> jax.Array:
+    """P such that p_world_h = P @ p_cam_h. With invert=True (the training path),
+    P = scale^-1 @ world^-1 @ K^-1; otherwise P = scale @ world @ K."""
+    if scale_mat is None:
+        scale_mat = jnp.eye(4, dtype=camera_mat.dtype)
+    if invert:
+        camera_mat = jnp.linalg.inv(camera_mat)
+        world_mat = jnp.linalg.inv(world_mat)
+        scale_mat = jnp.linalg.inv(scale_mat)
+    return scale_mat @ world_mat @ camera_mat
+
+
+def transform_to_world(pixels: jax.Array, depth: jax.Array, camera_mat: jax.Array,
+                       world_mat: Optional[jax.Array] = None,
+                       scale_mat: Optional[jax.Array] = None,
+                       invert: bool = True) -> jax.Array:
+    """Lift [-1,1]-pixels (N, 2) with depth (N, 1) or (N,) to world points (N, 3).
+
+    Reference semantics: homogeneous [px*d, py*d, d, 1] through
+    scale^-1 @ world^-1 @ K^-1 (`model/common.py:112-160`).
+    """
+    if world_mat is None:
+        world_mat = jnp.eye(4, dtype=pixels.dtype)
+    P = _compose_cam_to_world(camera_mat, world_mat, scale_mat, invert)
+    d = depth.reshape(-1, 1)
+    hom = jnp.concatenate(
+        [pixels * d, d, jnp.ones_like(d)], axis=-1)  # (N, 4)
+    p_world = hom @ P.T
+    return p_world[:, :3]
+
+
+def origin_to_world(camera_mat: jax.Array, world_mat: jax.Array,
+                    scale_mat: Optional[jax.Array] = None,
+                    invert: bool = True) -> jax.Array:
+    """Camera center in world coordinates, shape (3,).
+
+    Reference repeats it per-ray (`model/common.py:186-215`); broadcasting makes the
+    repeat free here.
+    """
+    P = _compose_cam_to_world(camera_mat, world_mat, scale_mat, invert)
+    origin = jnp.zeros((4,), dtype=camera_mat.dtype).at[3].set(1.0)
+    return (P @ origin)[:3]
+
+
+def image_points_to_world(pixels: jax.Array, camera_mat: jax.Array,
+                          world_mat: jax.Array,
+                          scale_mat: Optional[jax.Array] = None,
+                          invert: bool = True) -> jax.Array:
+    """Pixels at depth 1 lifted to world (N, 3) (`model/common.py:218-237`)."""
+    ones = jnp.ones((pixels.shape[0], 1), dtype=pixels.dtype)
+    return transform_to_world(pixels, ones, camera_mat, world_mat, scale_mat, invert)
+
+
+def transform_to_camera_space(p_world: jax.Array, camera_mat: jax.Array,
+                              world_mat: jax.Array,
+                              scale_mat: Optional[jax.Array] = None) -> jax.Array:
+    """World points (N, 3) -> camera space (N, 3) (`model/common.py:163-183`)."""
+    if scale_mat is None:
+        scale_mat = jnp.eye(4, dtype=p_world.dtype)
+    M = camera_mat @ world_mat @ scale_mat
+    hom = jnp.concatenate([p_world, jnp.ones_like(p_world[:, :1])], axis=-1)
+    return (hom @ M.T)[:, :3]
+
+
+def rays_from_pixels(pixels: jax.Array, camera_mat: jax.Array, world_mat: jax.Array,
+                     scale_mat: Optional[jax.Array] = None,
+                     normalize: bool = True) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Ray origins/directions for a frame: one composed transform, two matmuls.
+
+    Returns (origin (3,), ray_vector (N, 3), ray_norm (N,)). ray_vector is the
+    un-normalized pixel_world - origin when normalize=False, matching the reference's
+    `normalise_ray` switch (`model/rendering.py:59-65`).
+    """
+    P = _compose_cam_to_world(camera_mat, world_mat, scale_mat, invert=True)
+    origin = (P @ jnp.zeros((4,), camera_mat.dtype).at[3].set(1.0))[:3]
+    hom = jnp.concatenate(
+        [pixels, jnp.ones_like(pixels[:, :1]), jnp.ones_like(pixels[:, :1])], axis=-1)
+    pixels_world = (hom @ P.T)[:, :3]
+    ray_vec = pixels_world - origin
+    ray_norm = jnp.linalg.norm(ray_vec, axis=-1)
+    if normalize:
+        ray_vec = ray_vec / ray_norm[:, None]
+    return origin, ray_vec, ray_norm
+
+
+def project_to_cam(points: jax.Array, camera_mat: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Project world-frame-free camera-space points (N, 3) through K; returns
+    ([-1,1] xy (N, 2), valid mask (N, 1) bool). Reference: `model/common.py:436-457`.
+    """
+    hom = jnp.concatenate([points, jnp.ones_like(points[:, :1])], axis=-1)
+    xy = (hom @ camera_mat.T)[:, :3]
+    xy = xy[:, :2] / xy[:, 2:]
+    valid = (jnp.max(jnp.abs(xy), axis=-1) <= 1.0)[:, None]
+    return xy, valid
+
+
+def reprojection(pixels: jax.Array, depth: jax.Array, Rt_ref: jax.Array,
+                 world_mat: jax.Array, camera_mat: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Warp pixels of frame A into frame B: K @ Rt_ref @ world^-1 @ K^-1.
+    Returns ([-1,1] xy (N,2), valid float mask (N,1)). Reference: common.py:405-435."""
+    d = depth.reshape(-1, 1)
+    hom = jnp.concatenate([pixels * d, d, jnp.ones_like(d)], axis=-1)
+    M = camera_mat @ Rt_ref @ jnp.linalg.inv(world_mat) @ jnp.linalg.inv(camera_mat)
+    xy = (hom @ M.T)[:, :3]
+    xy = xy[:, :2] / xy[:, 2:]
+    valid = (jnp.max(jnp.abs(xy), axis=-1) <= 1.0)[:, None].astype(pixels.dtype)
+    return xy, valid
+
+
+def get_ndc_rays_fxfy(fxfy: jax.Array, near: float, rays_o: jax.Array,
+                      rays_d: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """World rays -> NDC rays (for unbounded scenes). Reference: common.py:632-675."""
+    t = -(near + rays_o[..., 2]) / rays_d[..., 2]
+    rays_o = rays_o + t[..., None] * rays_d
+
+    ox_oz = rays_o[..., 0] / rays_o[..., 2]
+    oy_oz = rays_o[..., 1] / rays_o[..., 2]
+
+    o0 = -fxfy[0] * ox_oz
+    o1 = -fxfy[1] * oy_oz
+    o2 = 1.0 + 2.0 * near / rays_o[..., 2]
+
+    d0 = -fxfy[0] * (rays_d[..., 0] / rays_d[..., 2] - ox_oz)
+    d1 = -fxfy[1] * (rays_d[..., 1] / rays_d[..., 2] - oy_oz)
+    d2 = 1.0 - o2
+
+    return jnp.stack([o0, o1, o2], -1), jnp.stack([d0, d1, d2], -1)

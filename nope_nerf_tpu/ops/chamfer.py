@@ -1,0 +1,68 @@
+"""Bidirectional Chamfer (point-to-point) loss, tiled for TPU.
+
+Capability parity with the reference's dense-match point-cloud loss
+(`model/losses.py:116-150`): for each source point find its nearest neighbor in the
+destination cloud, average the distances, sum both directions.
+
+TPU-first redesign: the reference materializes an (S, D) difference tensor of 3-vectors
+and norms it (`losses.py:139-140`) — O(S*D*3) HBM traffic. Here squared distances come
+from the identity |x-y|^2 = |x|^2 + |y|^2 - 2<x,y>, so the inner loop is one (S,3)x(3,D)
+matmul on the MXU, evaluated in fixed-size destination tiles under lax.map to bound
+VMEM/HBM footprint; argmin over squared distance equals argmin over distance, and the
+returned value recomputes the exact euclidean distance of the matched pair.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _pad_to_multiple(x: jax.Array, m: int, fill: float) -> Tuple[jax.Array, int]:
+    n = x.shape[0]
+    pad = (-n) % m
+    if pad:
+        x = jnp.concatenate([x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)], axis=0)
+    return x, n
+
+
+def nearest_dists(src: jax.Array, dst: jax.Array, tile: int = 2048) -> jax.Array:
+    """For each src point (S, 3): euclidean distance to its nearest dst point (D, 3).
+
+    Tiles over dst in `tile`-sized chunks keeping a running (min_sq, argmin) pair;
+    padded dst rows sit at +inf distance so they never win.
+    """
+    s = src.shape[0]
+    dst_padded, d_real = _pad_to_multiple(dst, tile, jnp.inf)
+    n_tiles = dst_padded.shape[0] // tile
+    tiles = dst_padded.reshape(n_tiles, tile, 3)
+
+    src_sq = jnp.sum(src * src, axis=-1)  # (S,)
+
+    def body(carry, dst_tile):
+        best_sq, best_idx, tile_idx = carry
+        finite = jnp.isfinite(dst_tile[:, 0])
+        dst_clean = jnp.where(finite[:, None], dst_tile, jnp.zeros_like(dst_tile))
+        dst_sq = jnp.where(finite, jnp.sum(dst_clean * dst_clean, axis=-1), jnp.inf)
+        cross = src @ dst_clean.T  # (S, tile) — MXU
+        d2 = src_sq[:, None] + dst_sq[None, :] - 2.0 * cross
+        tile_min = jnp.min(d2, axis=-1)
+        tile_arg = jnp.argmin(d2, axis=-1) + tile_idx * tile
+        take = tile_min < best_sq
+        best_sq = jnp.where(take, tile_min, best_sq)
+        best_idx = jnp.where(take, tile_arg, best_idx)
+        return (best_sq, best_idx, tile_idx + 1), None
+
+    init = (jnp.full((s,), jnp.inf, src.dtype), jnp.zeros((s,), jnp.int32), 0)
+    (best_sq, best_idx, _), _ = jax.lax.scan(body, init, tiles)
+    # Exact distance of the matched pair (parity with losses.py:147-149).
+    matched = dst_padded[best_idx]
+    return jnp.linalg.norm(src - matched, axis=-1)
+
+
+def chamfer_loss(x: jax.Array, y: jax.Array, tile: int = 2048) -> jax.Array:
+    """mean_nn(x->y) + mean_nn(y->x), scalar. Reference: `get_pc_loss`,
+    losses.py:116-123 (match_method='dense')."""
+    return jnp.mean(nearest_dists(x, y, tile)) + jnp.mean(nearest_dists(y, x, tile))
