@@ -1,0 +1,2 @@
+from .synthetic import make_synthetic_scene
+from .loader import SceneData, batch_for_frame, frame_iterator

@@ -172,24 +172,32 @@ def compute_losses(cfg: LossConfig,
                    d1: Optional[jax.Array] = None,
                    rt_12: Optional[jax.Array] = None,
                    rt_12_gt: Optional[jax.Array] = None,
-                   chamfer_tile: int = 2048) -> Dict[str, jax.Array]:
+                   chamfer_tile: int = 2048,
+                   precomputed: Optional[Dict[str, jax.Array]] = None
+                   ) -> Dict[str, jax.Array]:
     """Weighted total + per-term dict (parity with Loss.forward, losses.py:164-228).
 
     `weights` values may be traced scalars (annealed on host per epoch); term
     *enablement* is static via LossConfig so disabled subgraphs are never built.
+    `precomputed` lets the trainer inject already-reduced rgb/depth/l2 scalars
+    (the sharded render path psums them across devices).
     """
     zero = jnp.asarray(0.0, jnp.float32)
 
-    l_rgb = rgb_loss(rgb_pred, rgb_gt, rgb_loss_type) if cfg.use_rgb else zero
-
-    if cfg.use_depth:
-        mask = depth_mask if depth_mask is not None else jnp.ones_like(depth_pred, bool)
-        if cfg.depth_loss_type == "l1":
-            l_depth = depth_loss_l1(depth_pred, depth_gt, mask)
-        else:
-            l_depth = depth_loss_invariant(depth_pred, depth_gt, mask)
+    if precomputed is not None:
+        l_rgb = precomputed["loss_rgb"]
+        l_depth = precomputed["loss_depth"]
     else:
-        l_depth = zero
+        l_rgb = rgb_loss(rgb_pred, rgb_gt, rgb_loss_type) if cfg.use_rgb else zero
+
+        if cfg.use_depth:
+            mask = depth_mask if depth_mask is not None else jnp.ones_like(depth_pred, bool)
+            if cfg.depth_loss_type == "l1":
+                l_depth = depth_loss_l1(depth_pred, depth_gt, mask)
+            else:
+                l_depth = depth_loss_invariant(depth_pred, depth_gt, mask)
+        else:
+            l_depth = zero
 
     if cfg.use_dist:
         l_dist_1st, l_dist_2nd = weight_dist_loss(t_list)
@@ -206,7 +214,9 @@ def compute_losses(cfg: LossConfig,
 
     l_cycle = t_cycle_loss(rt_12, rt_12_gt) if cfg.use_t_cycle else zero
 
-    if cfg.use_rgb or cfg.use_depth:
+    if precomputed is not None:
+        l2_mean = precomputed["l2_mean"]
+    elif cfg.use_rgb or cfg.use_depth:
         l2_mean = jnp.mean((rgb_pred - rgb_gt) ** 2)
     else:
         l2_mean = zero

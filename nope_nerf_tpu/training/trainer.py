@@ -1,0 +1,443 @@
+"""The jitted train step and the host-side Trainer orchestration.
+
+Capability parity with `model/training.py:16-416` (Trainer.train_step/compute_loss):
+ray sampling with sparse-depth validity redraw, pose/distortion/focal application,
+rendering, the inter-frame reference pair (point-cloud lift, relative-pose warp,
+photometric reprojection), loss assembly, and four per-group Adam updates.
+
+TPU-first redesign:
+- the ENTIRE step (sampling -> render -> 8 losses -> 4 optimizer updates) is one
+  XLA program: state in, state out, nothing leaves the device. The reference crosses
+  the host boundary dozens of times per step (H2D copies at training.py:172-181,
+  `.item()` reads, per-module optimizers);
+- the frame-order swap (`img_idx < num_cams-1`, training.py:323-352) is a traced
+  jnp.where select, not Python control flow, so one compiled program serves every
+  frame;
+- the sparse-depth resampling loop (training.py:281-283) is a lax.while_loop over the
+  PRNG key with static shapes;
+- learning rates and annealed loss weights enter as traced scalars — the host can
+  schedule them freely with zero recompiles.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry.camera import (
+    camera_matrix_from_focal,
+    pixel_grid,
+    project_to_cam,
+    transform_to_world,
+)
+from ..losses import compute_losses
+from ..models.distortions import distortion_scale_shift
+from ..models.intrinsics import focal_fxfy
+from ..models.nerf import nerf_apply  # noqa: F401  (re-export for kernels)
+from ..models.poses import pose_c2w, pose_translations
+from ..ops.interp import get_tensor_values, resize_area, resize_bilinear, resize_nearest
+from ..ops.render import render_nope_nerf
+from .state import ModelConfigs, TrainState, apply_updates_with_lr
+
+
+def _sample_rays(key: jax.Array, hw: int, n: int, depth_mask_flat: Optional[jax.Array],
+                 resample: bool) -> Tuple[jax.Array, jax.Array]:
+    """randperm(h*w)[:n], redrawn until >=1 sampled pixel has a valid (sparse) depth
+    (training.py:277-283). Returns (new_key, ray_idx)."""
+    key, k0 = jax.random.split(key)
+    idx = jax.random.permutation(k0, hw)[:n]
+    if not resample or depth_mask_flat is None:
+        return key, idx
+
+    def cond(carry):
+        _, idx = carry
+        return ~jnp.any(depth_mask_flat[idx])
+
+    def body(carry):
+        key, _ = carry
+        key, k = jax.random.split(key)
+        return key, jax.random.permutation(k, hw)[:n]
+
+    key, idx = jax.lax.while_loop(cond, body, (key, idx))
+    return key, idx
+
+
+def _apply_distortion(depth: jax.Array, scale: jax.Array, shift: jax.Array,
+                      shift_first: bool) -> jax.Array:
+    """training.py:259-264 / :310-315."""
+    if shift_first:
+        return (depth + shift) * scale
+    return depth * scale + shift
+
+
+def _ray_terms(nerf_params, pixels, depth_prior, rgb_gt, prior_mask, camera_mat,
+               world_mat, scale_mat, key, mc: ModelConfigs, rgb_loss_type: str,
+               n_total: int, axis_name: Optional[str] = None):
+    """Render a (shard of the) ray batch and reduce its loss terms to scalars.
+
+    With axis_name set, runs inside shard_map over the ray axis: local sums are
+    psum'd so every device returns the identical *global* rgb/depth/l2 values —
+    the TPU-native replacement for the reference's single-device render
+    (ray sharding per SURVEY.md §2.9). Returns (l_rgb, l_depth, l2_mean).
+    """
+    from ..losses import depth_loss_invariant
+
+    out = render_nope_nerf(nerf_params, pixels, depth_prior, camera_mat,
+                           world_mat, scale_mat, key, mc.render, mc.nerf,
+                           add_noise=mc.stratified_noise, eval_=False)
+    depth_pred = out["depth_pred"]
+    depth_gt = out["depth_gt"]
+    if mc.detach_gt_depth:
+        depth_gt = jax.lax.stop_gradient(depth_gt)
+    mask = out["object_mask"] & prior_mask
+
+    lcfg = mc.loss
+    zero = jnp.asarray(0.0, jnp.float32)
+
+    def allreduce(x):
+        return jax.lax.psum(x, axis_name) if axis_name else x
+
+    if lcfg.use_rgb:
+        p = 1 if rgb_loss_type == "l1" else 2
+        diff = jnp.abs(out["rgb"] - rgb_gt)
+        l_rgb = allreduce(jnp.sum(diff if p == 1 else diff * diff)) / n_total
+    else:
+        l_rgb = zero
+
+    if lcfg.use_depth:
+        if lcfg.depth_loss_type == "l1":
+            dsum = allreduce(jnp.sum(jnp.where(mask, jnp.abs(depth_pred - depth_gt), 0.0)))
+            dcount = allreduce(jnp.sum(mask.astype(jnp.float32)))
+            l_depth = jnp.where(dcount > 0, dsum / jnp.maximum(dcount, 1.0), 0.0)
+        else:
+            # the invariant loss needs a global median — gather the (small) ray batch
+            if axis_name:
+                depth_pred_g = jax.lax.all_gather(depth_pred, axis_name, tiled=True)
+                depth_gt_g = jax.lax.all_gather(depth_gt, axis_name, tiled=True)
+                mask_g = jax.lax.all_gather(mask, axis_name, tiled=True)
+            else:
+                depth_pred_g, depth_gt_g, mask_g = depth_pred, depth_gt, mask
+            l_depth = depth_loss_invariant(depth_pred_g, depth_gt_g, mask_g)
+    else:
+        l_depth = zero
+
+    if lcfg.use_rgb or lcfg.use_depth:
+        l2_mean = allreduce(jnp.sum((out["rgb"] - rgb_gt) ** 2)) / (n_total * 3)
+    else:
+        l2_mean = zero
+    return l_rgb, l_depth, l2_mean
+
+
+def compute_step_loss(params: Dict[str, Any], batch: Dict[str, jax.Array],
+                      weights: Dict[str, jax.Array], ray_idx: jax.Array,
+                      key: jax.Array, mc: ModelConfigs, rgb_loss_type: str,
+                      mesh=None) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Pure loss for one frame (+ its reference frame). Differentiable in `params`.
+
+    With `mesh` set (a 1-axis ('data',) jax Mesh), the render fans out over the ray
+    axis via shard_map — gradients flow through the psums and are correct globally.
+    """
+    img = batch["img"]                      # (H, W, 3)
+    depth_input = batch["depth"]            # (H, W)
+    depth_mask = batch["depth_mask"]        # (H, W) bool
+    idx = batch["idx"]
+    pose_gt = batch["pose_gt"]              # (4, 4) c2w
+    h, w, _ = img.shape
+    lcfg = mc.loss
+
+    # --- pose ---------------------------------------------------------------
+    if mc.pose is not None:
+        c2w = pose_c2w(params["pose"], idx, mc.pose)
+        world_mat = jnp.linalg.inv(c2w)
+        t_list = pose_translations(params["pose"], mc.pose)
+    else:
+        world_mat = jnp.linalg.inv(pose_gt)
+        t_list = None
+    world_mat_gt = jnp.linalg.inv(pose_gt)
+
+    # --- depth distortion ---------------------------------------------------
+    if mc.distortion is not None:
+        scale_in, shift_in = distortion_scale_shift(params["distortion"], idx,
+                                                    mc.distortion)
+        depth_input = _apply_distortion(depth_input, scale_in[0], shift_in[0],
+                                        mc.shift_first)
+    else:
+        scale_in = jnp.ones((1,), img.dtype)
+        shift_in = jnp.zeros((1,), img.dtype)
+
+    # --- intrinsics ---------------------------------------------------------
+    if mc.focal is not None:
+        fxfy = focal_fxfy(params["focal"], mc.focal)
+        camera_mat = camera_matrix_from_focal(fxfy[0], fxfy[1])
+    else:
+        camera_mat = batch["camera_mat"]
+    scale_mat = batch.get("scale_mat")
+
+    # --- render the sampled rays -------------------------------------------
+    rgb_gt = img.reshape(-1, 3)[ray_idx]
+    _, pixels_all = pixel_grid((h, w), dtype=img.dtype)
+    pixels = pixels_all[ray_idx]
+    # per-ray depth prior: full-frame resize (area) then gather (network.py:19-33)
+    depth_resized = resize_area(depth_input[..., None], (h, w))[..., 0]
+    depth_prior = depth_resized.reshape(-1)[ray_idx][:, None]
+
+    render_model = lcfg.use_rgb or lcfg.use_depth
+    precomputed = None
+    if render_model:
+        prior_mask = depth_mask.reshape(-1)[ray_idx]
+        n_total = mc.n_training_points
+        if mesh is None:
+            l_rgb, l_depth, l2_mean = _ray_terms(
+                params["nerf"], pixels, depth_prior, rgb_gt, prior_mask, camera_mat,
+                world_mat, scale_mat, key, mc, rgb_loss_type, n_total)
+        else:
+            from jax.sharding import PartitionSpec as P
+
+            def shard_fn(nerf_params, pixels_s, depth_prior_s, rgb_gt_s, mask_s,
+                         camera_mat_r, world_mat_r, keys_s):
+                return _ray_terms(nerf_params, pixels_s, depth_prior_s, rgb_gt_s,
+                                  mask_s, camera_mat_r, world_mat_r, None,
+                                  keys_s[0], mc, rgb_loss_type, n_total,
+                                  axis_name="data")
+
+            n_dev = mesh.devices.size
+            keys = jax.random.split(key, n_dev)
+            l_rgb, l_depth, l2_mean = jax.shard_map(
+                shard_fn, mesh=mesh,
+                in_specs=(P(), P("data"), P("data"), P("data"), P("data"),
+                          P(), P(), P("data")),
+                out_specs=(P(), P(), P()),
+                check_vma=False,
+            )(params["nerf"], pixels, depth_prior, rgb_gt, prior_mask,
+              camera_mat, world_mat, keys)
+        precomputed = {"loss_rgb": l_rgb, "loss_depth": l_depth, "l2_mean": l2_mean}
+    else:
+        precomputed = {"loss_rgb": jnp.asarray(0.0, jnp.float32),
+                       "loss_depth": jnp.asarray(0.0, jnp.float32),
+                       "l2_mean": jnp.asarray(0.0, jnp.float32)}
+
+    # --- inter-frame reference pair ----------------------------------------
+    loss_kwargs: Dict[str, Any] = {}
+    use_ref = lcfg.use_pc or lcfg.use_rgb_s or lcfg.use_t_cycle
+    if use_ref:
+        assert mc.pose is not None, "pair losses require learned poses"
+        ref_idx = batch["ref_idx"]
+        ref_img = batch["ref_img"]
+        depth_ref = batch["ref_depth"]
+        ref_pose_gt = batch["ref_pose_gt"]
+        num_cams = mc.pose.num_cams
+        nl = mc.nearest_limit
+
+        c2w_ref = pose_c2w(params["pose"], ref_idx, mc.pose)
+        if mc.distortion is not None:
+            scale_ref, shift_ref = distortion_scale_shift(params["distortion"],
+                                                          ref_idx, mc.distortion)
+            depth_ref = _apply_distortion(depth_ref, scale_ref[0], shift_ref[0],
+                                          mc.shift_first)
+        else:
+            scale_ref = jnp.ones((1,), img.dtype)
+        if mc.detach_ref_img:
+            c2w_ref = jax.lax.stop_gradient(c2w_ref)
+            scale_ref = jax.lax.stop_gradient(scale_ref)
+            depth_ref = jax.lax.stop_gradient(depth_ref)
+        ref_Rt = jnp.linalg.inv(c2w_ref)
+        ref_Rt_gt = jnp.linalg.inv(ref_pose_gt)
+
+        # frame ordering: frame 1 must precede frame 2 (training.py:323-352)
+        fwd = idx < (num_cams - 1)
+
+        def sel(a, b):
+            return jnp.where(fwd, a, b)
+
+        d1 = sel(depth_input, depth_ref)
+        d2 = sel(depth_ref, depth_input)
+        img1 = sel(img, ref_img)
+        img2 = sel(ref_img, img)
+        Rt_rel_12 = sel(ref_Rt @ jnp.linalg.inv(world_mat),
+                        world_mat @ jnp.linalg.inv(ref_Rt))
+        Rt_rel_12_gt = sel(ref_Rt_gt @ jnp.linalg.inv(world_mat_gt),
+                           world_mat_gt @ jnp.linalg.inv(ref_Rt_gt))
+        scale1 = sel(scale_in, scale_ref)
+        R_rel = Rt_rel_12[:3, :3]
+        t_rel = Rt_rel_12[:3, 3]
+
+        sh, sw = h // mc.pc_ratio, w // mc.pc_ratio
+        _, p_pc = pixel_grid((sh, sw), dtype=img.dtype)
+        d1s = resize_nearest(d1[..., None], (sh, sw)).reshape(-1)
+        d2s = resize_nearest(d2[..., None], (sh, sw)).reshape(-1)
+        d1s = jnp.maximum(d1s, nl)  # training.py:359-360
+        d2s = jnp.maximum(d2s, nl)
+        pc1 = transform_to_world(p_pc, d1s[:, None], camera_mat)
+        pc2 = transform_to_world(p_pc, d2s[:, None], camera_mat)
+
+        if lcfg.use_rgb_s:
+            img1s = resize_bilinear(img1, (sh, sw))
+            img2s = resize_bilinear(img2, (sh, sw))
+            rgb_pc1 = get_tensor_values(img1s, p_pc, mode="bilinear", scale=False,
+                                        align_corners=True)
+            pc1_base = jax.lax.stop_gradient(pc1) if mc.detach_rgbs_scale else pc1
+            pc1_rot = pc1_base @ R_rel.T + t_rel
+            invalid = (-pc1_rot[:, 2:]) < nl  # in front of / too close to cam 2
+            pc1_rot = jnp.where(jnp.broadcast_to(invalid, pc1_rot.shape),
+                                jnp.asarray(nl, img.dtype), pc1_rot)
+            p_reproj, valid_mask = project_to_cam(pc1_rot, camera_mat)
+            rgb_pc1_proj = get_tensor_values(img2s, p_reproj, mode="bilinear",
+                                             scale=False, align_corners=True)
+            loss_kwargs.update(
+                rgb_pc1=rgb_pc1.reshape(sh, sw, 3),
+                rgb_pc1_proj=rgb_pc1_proj.reshape(sh, sw, 3),
+                valid_points=valid_mask.reshape(sh, sw, 1).astype(img.dtype),
+            )
+
+        if mc.scale_pcs:  # training.py:394-396
+            pc1 = pc1 / scale1
+            pc2 = pc2 / scale1
+
+        loss_kwargs.update(
+            pc_x=pc1 @ R_rel.T + t_rel,
+            pc_y=pc2,
+            rt_12=Rt_rel_12,
+            rt_12_gt=Rt_rel_12_gt,
+        )
+
+    loss_dict = compute_losses(
+        lcfg, weights, rgb_loss_type=rgb_loss_type, t_list=t_list,
+        chamfer_tile=mc.chamfer_tile, precomputed=precomputed, **loss_kwargs)
+    loss_dict["scale"] = scale_in[0]
+    loss_dict["shift"] = shift_in[0]
+    return loss_dict["loss"], loss_dict
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("mc", "rgb_loss_type", "optimizers", "mesh"))
+def train_step(state: TrainState, batch: Dict[str, jax.Array],
+               weights: Dict[str, jax.Array], lrs: Dict[str, jax.Array],
+               mc: ModelConfigs, rgb_loss_type: str, optimizers,
+               mesh=None) -> Tuple[TrainState, Dict[str, jax.Array]]:
+    """One full optimization step: state -> (state, metrics). `optimizers` is the
+    hashable tuple of (group, optax transform) pairs from create_train_state;
+    `mesh` (optional, static) fans the render out over its 'data' axis."""
+    opt = dict(optimizers)
+    key, kray, krender = jax.random.split(state.rng, 3)
+
+    h, w, _ = batch["img"].shape
+    if mesh is not None:
+        assert mc.n_training_points % mesh.devices.size == 0, (
+            "n_training_points must divide evenly across the data axis")
+    key, ray_idx = _sample_rays(
+        kray, h * w, mc.n_training_points,
+        batch["depth_mask"].reshape(-1) if mc.use_sparse_depth_resample else None,
+        mc.use_sparse_depth_resample)
+
+    grads, loss_dict = jax.grad(compute_step_loss, has_aux=True)(
+        state.params, batch, weights, ray_idx, krender, mc, rgb_loss_type, mesh)
+
+    new_params = dict(state.params)
+    new_opt_state = dict(state.opt_state)
+    for group in state.params:
+        updates, new_opt_state[group] = opt[group].update(
+            grads[group], state.opt_state[group], state.params[group])
+        new_params[group] = apply_updates_with_lr(state.params[group], updates,
+                                                  lrs[group])
+
+    new_state = TrainState(params=new_params, opt_state=new_opt_state,
+                           it=state.it + 1, rng=key)
+    return new_state, loss_dict
+
+
+class Trainer:
+    """Host-side orchestration: schedules, logging hooks, full-frame visualization.
+
+    The per-step compute lives in `train_step` (jitted); this class only owns scalar
+    schedule state — mirroring the reference's split between Trainer and train.py's
+    epoch loop, minus the module soup.
+    """
+
+    def __init__(self, cfg: dict, mc: ModelConfigs, optimizers: Dict[str, Any],
+                 mesh=None):
+        self.cfg = cfg
+        self.mc = mc
+        self.mesh = mesh
+        # hashable static arg for jit
+        self.optimizers = tuple(sorted(optimizers.items()))
+        t = cfg["training"]
+        self.base_lrs = {"nerf": t["learning_rate"], "pose": t["pose_lr"],
+                         "focal": t["focal_lr"], "distortion": t["distortion_lr"]}
+        self.gammas = {"nerf": t["scheduler_gamma"], "pose": t["scheduler_gamma_pose"],
+                       "focal": t["scheduler_gamma_focal"],
+                       "distortion": t["scheduler_gamma_distortion"]}
+        self.decay_intervals = {"nerf": 10, "pose": 100, "focal": 100,
+                                "distortion": 100}
+
+    def lrs_at(self, epoch: int, scheduling_start: int) -> Dict[str, jnp.ndarray]:
+        from .scheduler import lr_at_epoch
+        return {g: jnp.asarray(
+            lr_at_epoch(self.base_lrs[g], self.gammas[g], scheduling_start, epoch,
+                        self.decay_intervals[g]), jnp.float32)
+            for g in self.base_lrs}
+
+    def weights_at(self, epoch: int, scheduling_start: int) -> Dict[str, jnp.ndarray]:
+        from .scheduler import annealed_weights
+        return {k: jnp.asarray(v, jnp.float32) for k, v in
+                annealed_weights(self.cfg["training"], scheduling_start, epoch).items()}
+
+    def rgb_loss_type(self, epoch: int, scheduling_start: int) -> str:
+        from .scheduler import rgb_loss_type_at
+        return rgb_loss_type_at(self.cfg["training"], scheduling_start, epoch)
+
+    def step(self, state: TrainState, batch: Dict[str, jax.Array], epoch: int,
+             scheduling_start: int) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        return train_step(state, batch,
+                          self.weights_at(epoch, scheduling_start),
+                          self.lrs_at(epoch, scheduling_start),
+                          self.mc, self.rgb_loss_type(epoch, scheduling_start),
+                          self.optimizers, self.mesh)
+
+    def render_frame(self, state: TrainState, batch: Dict[str, jax.Array],
+                     resolution: Tuple[int, int], chunk: int = 1024,
+                     use_learned_pose: bool = True) -> Dict[str, jnp.ndarray]:
+        """Full-frame eval render in fixed-size ray chunks (reference render_visdata,
+        training.py:103-165). Returns {'rgb': (h,w,3), 'depth': (h,w)}."""
+        import numpy as np
+        h, w = resolution
+        mc = self.mc
+        if use_learned_pose and mc.pose is not None:
+            c2w = pose_c2w(state.params["pose"], batch["idx"], mc.pose)
+            world_mat = jnp.linalg.inv(c2w)
+        else:
+            world_mat = jnp.linalg.inv(batch["pose_gt"])
+        if mc.focal is not None:
+            fxfy = focal_fxfy(state.params["focal"], mc.focal)
+            camera_mat = camera_matrix_from_focal(fxfy[0], fxfy[1])
+        else:
+            camera_mat = batch["camera_mat"]
+        depth_input = batch["depth"]
+        if mc.distortion is not None:
+            s, sh_ = distortion_scale_shift(state.params["distortion"], batch["idx"],
+                                            mc.distortion)
+            depth_input = _apply_distortion(depth_input, s[0], sh_[0], mc.shift_first)
+        depth_resized = resize_area(depth_input[..., None], (h, w)).reshape(-1)
+
+        _, pixels_all = pixel_grid((h, w))
+        n = h * w
+        pad = (-n) % chunk
+        pixels_p = jnp.concatenate(
+            [pixels_all, jnp.zeros((pad, 2), pixels_all.dtype)], 0)
+        depth_p = jnp.concatenate([depth_resized, jnp.ones((pad,))], 0)
+
+        render_chunk = jax.jit(functools.partial(
+            render_nope_nerf, rcfg=mc.render, ncfg=mc.nerf,
+            add_noise=False, eval_=True))
+        rgbs, depths = [], []
+        for i in range(0, n + pad, chunk):
+            out = render_chunk(state.params["nerf"], pixels_p[i:i + chunk],
+                               depth_p[i:i + chunk, None], camera_mat, world_mat,
+                               None, None)
+            rgbs.append(np.asarray(out["rgb"]))
+            depths.append(np.asarray(out["depth_pred"]))
+        rgb = np.concatenate(rgbs)[:n].reshape(h, w, 3)
+        depth = np.concatenate(depths)[:n].reshape(h, w)
+        return {"rgb": rgb, "depth": depth}

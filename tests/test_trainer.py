@@ -1,0 +1,134 @@
+"""Integration tests: the fully-jitted train step on a synthetic scene —
+loss decreases, all four parameter groups move, schedules behave."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nope_nerf_tpu.config import load_config
+from nope_nerf_tpu.data import make_synthetic_scene, SceneData, batch_for_frame, frame_iterator
+from nope_nerf_tpu.training import TrainState, create_train_state, ModelConfigs, Trainer
+from nope_nerf_tpu.training.scheduler import (
+    anneal_weight, annealed_weights, rgb_loss_type_at, lr_at_epoch, multistep_lr,
+    AutoScheduler,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = load_config(overrides={
+        "model": {"hidden_dim": 32},
+        "rendering": {"num_points": 16},
+        "training": {"n_training_points": 128, "pc_ratio": 4},
+        "pose": {"learn_pose": True, "init_pose": True},
+    })
+    scene = SceneData.from_dict(dict(make_synthetic_scene(n_frames=4, h=24, w=32)))
+    mc = ModelConfigs.from_cfg(cfg, num_cams=scene.n_frames)
+    mc = type(mc)(**{**mc.__dict__, "chamfer_tile": 64})
+    state, optimizers = create_train_state(jax.random.key(0), mc,
+                                           init_c2w=jnp.asarray(scene.c2ws_gt))
+    trainer = Trainer(cfg, mc, optimizers)
+    return cfg, scene, mc, state, trainer
+
+
+def test_train_step_runs_and_returns_losses(setup):
+    cfg, scene, mc, state, trainer = setup
+    batch = batch_for_frame(scene, 0, rng=np.random.RandomState(0))
+    state2, ld = trainer.step(state, batch, epoch=0, scheduling_start=10000)
+    for k in ["loss", "loss_rgb", "loss_depth", "loss_pc", "loss_rgb_s", "l2_mean"]:
+        v = float(ld[k])
+        assert np.isfinite(v), f"{k} not finite"
+    assert float(ld["loss"]) > 0
+    assert int(state2.it) == int(state.it) + 1
+
+
+def test_loss_decreases_over_steps(setup):
+    cfg, scene, mc, state, trainer = setup
+    rng = np.random.RandomState(1)
+    first_losses, last_losses = [], []
+    for ep in range(30):
+        for batch in frame_iterator(scene, seed=ep):
+            state, ld = trainer.step(state, batch, epoch=ep, scheduling_start=10000)
+            if ep < 3:
+                first_losses.append(float(ld["loss"]))
+            if ep >= 27:
+                last_losses.append(float(ld["loss"]))
+    assert np.mean(last_losses) < 0.7 * np.mean(first_losses), (
+        np.mean(first_losses), np.mean(last_losses))
+
+
+def test_all_param_groups_update(setup):
+    cfg, scene, mc, state, trainer = setup
+    batch = batch_for_frame(scene, 1, rng=np.random.RandomState(2))
+    state2, _ = trainer.step(state, batch, epoch=0, scheduling_start=10000)
+    # frame 1's pose / distortion rows must have moved; nerf weights must move
+    assert not np.allclose(np.asarray(state2.params["nerf"]["trunk0_0_w"]),
+                           np.asarray(state.params["nerf"]["trunk0_0_w"]))
+    assert not np.allclose(np.asarray(state2.params["pose"]["r"][1]),
+                           np.asarray(state.params["pose"]["r"][1]))
+    assert not np.allclose(np.asarray(state2.params["distortion"]["shift"][1]),
+                           np.asarray(state.params["distortion"]["shift"][1]))
+
+
+def test_render_frame(setup):
+    cfg, scene, mc, state, trainer = setup
+    batch = batch_for_frame(scene, 0, rng=np.random.RandomState(3))
+    out = trainer.render_frame(state, batch, (24, 32), chunk=256)
+    assert out["rgb"].shape == (24, 32, 3)
+    assert out["depth"].shape == (24, 32)
+    assert np.all(np.isfinite(out["rgb"]))
+
+
+def test_anneal_weight():
+    assert anneal_weight(1.0, 0.0, 100, 10, 50) == 1.0
+    assert anneal_weight(1.0, 0.0, 100, 10, 200) == 0.0
+    assert np.isclose(anneal_weight(1.0, 0.0, 100, 10, 105), 0.5)
+
+
+def test_rgb_loss_type_switch():
+    t = {"annealing_epochs": 2000}
+    assert rgb_loss_type_at(t, 100, 50) == "l1"
+    assert rgb_loss_type_at(t, 100, 2099) == "l1"
+    assert rgb_loss_type_at(t, 100, 2100) == "l2"
+
+
+def test_lr_schedules():
+    # auto-scheduler decay: gamma^((ep-start)//10)
+    assert lr_at_epoch(1e-3, 0.9954, 100, 50, 10) == 1e-3
+    np.testing.assert_allclose(lr_at_epoch(1e-3, 0.9954, 100, 120, 10),
+                               1e-3 * 0.9954 ** 2)
+    # multistep
+    np.testing.assert_allclose(multistep_lr(1e-3, 0.5, [10, 20, 30], 25),
+                               1e-3 * 0.25)
+
+
+def test_auto_scheduler_plateau():
+    s = AutoScheduler(length_smooth=3, patient=2)
+    start = 10000
+    # improving: stays armed at 10000
+    for ep, psnr in enumerate([10, 11, 12, 13, 14]):
+        start = s.update(psnr, ep, start)
+    assert start == 10000
+    # plateau then decline: arms after `patient` failures
+    for ep, psnr in enumerate([13, 10, 8, 6, 4], start=5):
+        start = s.update(psnr, ep, start)
+        if start != 10000:
+            break
+    assert start != 10000
+
+
+def test_sparse_depth_resample_path(setup):
+    """with_depth mode: nearly-empty masks must still produce a valid step."""
+    cfg, scene, mc, state, trainer = setup
+    mc_sparse = type(mc)(**{**mc.__dict__, "use_sparse_depth_resample": True})
+    sparse = SceneData.from_dict(dict(make_synthetic_scene(n_frames=4, h=24, w=32)))
+    mask = np.zeros_like(sparse.depth_masks)
+    mask[:, ::6, ::6] = True  # sparse lidar-like pattern
+    sparse.depths = sparse.depths * mask
+    sparse.depth_masks = mask
+    trainer_sparse = Trainer(cfg, mc_sparse, dict(trainer.optimizers))
+    batch = batch_for_frame(sparse, 0, rng=np.random.RandomState(4))
+    state2, ld = trainer_sparse.step(state, batch, epoch=0, scheduling_start=10000)
+    assert np.isfinite(float(ld["loss"]))
+    assert np.isfinite(float(ld["loss_depth"]))
