@@ -189,7 +189,7 @@ DEFAULTS: Dict[str, Any] = {
         "mesh_shape": None,  # e.g. [8] — None = all local devices on axis 'data'
         "mesh_axes": ["data"],
         "param_dtype": "float32",
-        "compute_dtype": "float32",
+        "compute_dtype": "bfloat16",  # MLP matmul operand dtype; 'float32' for exact reference parity
         "use_pallas_renderer": True,
         "donate_state": True,
         "profile_dir": None,

@@ -34,6 +34,15 @@ class NerfConfig:
     occ_activation: str = "softplus"  # 'softplus' | 'relu'
     dist_alpha: bool = False          # False => density -> 1-exp(-density) occupancy
     white_background: bool = False
+    # Matmul precision: 'bfloat16' runs the 9 Linears on the MXU at ~4x fp32
+    # throughput (params stay fp32 masters; accumulation is fp32 via
+    # preferred_element_type; encodings/activations/heads stay fp32).
+    # 'float32' is bit-faithful to the reference for parity tests.
+    compute_dtype: str = "bfloat16"
+    # Route point queries through the fused Pallas kernel (ops/pallas_mlp.py).
+    # Requires hidden_dim % 128 == 0 and the reference 10/4 encoding levels;
+    # the renderer dispatches on this flag.
+    use_pallas: bool = False
 
     @property
     def pos_in_dims(self) -> int:
@@ -52,6 +61,12 @@ class NerfConfig:
             occ_activation=cfg["model"]["occ_activation"],
             dist_alpha=cfg["rendering"]["dist_alpha"],
             white_background=cfg["rendering"]["white_background"],
+            compute_dtype=cfg.get("tpu", {}).get("compute_dtype", "bfloat16"),
+            use_pallas=bool(
+                cfg.get("tpu", {}).get("use_pallas_renderer", False)
+                and cfg["model"]["hidden_dim"] % 128 == 0
+                and cfg["model"]["pos_enc_levels"] == 10
+                and cfg["model"]["dir_enc_levels"] == 4),
         )
 
 
@@ -127,13 +142,23 @@ def reset_linear_params(key: jax.Array, params: Params, cfg: NerfConfig) -> Para
     return fresh
 
 
-def _trunk(params: Params, pos_enc: jax.Array) -> jax.Array:
+def _matmul(x: jax.Array, w: jax.Array, b: jax.Array, cfg: NerfConfig) -> jax.Array:
+    """x @ w + b with optional bf16 operands and fp32 accumulation (MXU-native)."""
+    if cfg.compute_dtype == "bfloat16":
+        y = jax.lax.dot(x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+    else:
+        y = x @ w
+    return y + b
+
+
+def _trunk(params: Params, pos_enc: jax.Array, cfg: NerfConfig) -> jax.Array:
     x = pos_enc
     for i in range(4):
-        x = jax.nn.relu(x @ params[f"trunk0_{i}_w"] + params[f"trunk0_{i}_b"])
+        x = jax.nn.relu(_matmul(x, params[f"trunk0_{i}_w"], params[f"trunk0_{i}_b"], cfg))
     x = jnp.concatenate([x, pos_enc], axis=-1)  # skip concat, official_nerf.py:63
     for i in range(4):
-        x = jax.nn.relu(x @ params[f"trunk1_{i}_w"] + params[f"trunk1_{i}_b"])
+        x = jax.nn.relu(_matmul(x, params[f"trunk1_{i}_w"], params[f"trunk1_{i}_b"], cfg))
     return x
 
 
@@ -150,8 +175,8 @@ def _occupancy(raw: jax.Array, cfg: NerfConfig) -> jax.Array:
 def nerf_density(params: Params, pts: jax.Array, cfg: NerfConfig) -> jax.Array:
     """Density/occupancy only (the reference's only_occupancy=True path)."""
     pos_enc = encode_position(pts, cfg.pos_enc_levels)
-    x = _trunk(params, pos_enc)
-    raw = x @ params["density_w"] + params["density_b"]
+    x = _trunk(params, pos_enc, cfg)
+    raw = _matmul(x, params["density_w"], params["density_b"], cfg)
     return _occupancy(raw, cfg)
 
 
@@ -162,15 +187,15 @@ def nerf_apply(params: Params, pts: jax.Array, ray_d: jax.Array,
     Reference: `OfficialStaticNerf.forward`, official_nerf.py:69-96 (return_addocc path).
     """
     pos_enc = encode_position(pts, cfg.pos_enc_levels)
-    x = _trunk(params, pos_enc)
-    raw = x @ params["density_w"] + params["density_b"]
+    x = _trunk(params, pos_enc, cfg)
+    raw = _matmul(x, params["density_w"], params["density_b"], cfg)
     density = _occupancy(raw, cfg)
 
     dir_enc = encode_position(ray_d, cfg.dir_enc_levels)
-    feat = x @ params["feature_w"] + params["feature_b"]
+    feat = _matmul(x, params["feature_w"], params["feature_b"], cfg)
     h = jnp.concatenate([feat, dir_enc], axis=-1)
-    h = jax.nn.relu(h @ params["rgb_hidden_w"] + params["rgb_hidden_b"])
-    rgb = jax.nn.sigmoid(h @ params["rgb_w"] + params["rgb_b"])
+    h = jax.nn.relu(_matmul(h, params["rgb_hidden_w"], params["rgb_hidden_b"], cfg))
+    rgb = jax.nn.sigmoid(_matmul(h, params["rgb_w"], params["rgb_b"], cfg))
     return rgb, density
 
 
@@ -183,7 +208,7 @@ def nerf_gradient(params: Params, pts: jax.Array, cfg: NerfConfig) -> jax.Array:
     """
     def raw_density_sum(p):
         pos_enc = encode_position(p, cfg.pos_enc_levels)
-        x = _trunk(params, pos_enc)
-        return jnp.sum(x @ params["density_w"] + params["density_b"])
+        x = _trunk(params, pos_enc, cfg)
+        return jnp.sum(_matmul(x, params["density_w"], params["density_b"], cfg))
 
     return -jax.grad(raw_density_sum)(pts)

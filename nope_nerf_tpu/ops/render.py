@@ -155,7 +155,13 @@ def render_nope_nerf(nerf_params: Dict[str, jax.Array],
     else:
         dirs = jnp.ones_like(pts)
 
-    rgb, density = nerf_apply(nerf_params, pts.reshape(-1, 3), dirs.reshape(-1, 3), ncfg)
+    if ncfg.use_pallas:
+        from .pallas_mlp import nerf_apply_fused
+        rgb, density = nerf_apply_fused(nerf_params, pts.reshape(-1, 3),
+                                        dirs.reshape(-1, 3), ncfg)
+    else:
+        rgb, density = nerf_apply(nerf_params, pts.reshape(-1, 3),
+                                  dirs.reshape(-1, 3), ncfg)
     rgb = rgb.reshape(n_rays, steps, 3)
     alpha = density.reshape(n_rays, steps)
 

@@ -24,7 +24,10 @@ def setup():
     })
     scene = SceneData.from_dict(dict(make_synthetic_scene(n_frames=4, h=24, w=32)))
     mc = ModelConfigs.from_cfg(cfg, num_cams=scene.n_frames)
-    mc = type(mc)(**{**mc.__dict__, "chamfer_tile": 64, "stratified_noise": False})
+    mc = type(mc)(**{**mc.__dict__, "chamfer_tile": 64, "stratified_noise": False,
+                     # exact psum-vs-global comparison needs deterministic fp32 matmuls
+                     "nerf": type(mc.nerf)(**{**mc.nerf.__dict__,
+                                              "compute_dtype": "float32"})})
     state, optimizers = create_train_state(jax.random.key(0), mc,
                                            init_c2w=jnp.asarray(scene.c2ws_gt))
     return cfg, scene, mc, state, optimizers
