@@ -441,3 +441,33 @@ class Trainer:
         rgb = np.concatenate(rgbs)[:n].reshape(h, w, 3)
         depth = np.concatenate(depths)[:n].reshape(h, w)
         return {"rgb": rgb, "depth": depth}
+
+    def render_geo(self, state: TrainState, batch: Dict[str, jax.Array],
+                   resolution: Tuple[int, int], chunk: int = 1024,
+                   radius: float = 4.0, n_steps: int = 512):
+        """Phong geometry view of the current surface (reference render_visdata's
+        vis_geo branch, training.py:146-163). Returns (h, w, 3) numpy."""
+        import numpy as np
+        from ..ops.phong import phong_render
+
+        h, w = resolution
+        mc = self.mc
+        if mc.pose is not None:
+            c2w = pose_c2w(state.params["pose"], batch["idx"], mc.pose)
+            world_mat = jnp.linalg.inv(c2w)
+        else:
+            world_mat = jnp.linalg.inv(batch["pose_gt"])
+        camera_mat = batch["camera_mat"]
+        _, pixels_all = pixel_grid((h, w))
+        n = h * w
+        pad = (-n) % chunk
+        pixels_p = jnp.concatenate([pixels_all, jnp.zeros((pad, 2))], 0)
+
+        geo_chunk = jax.jit(functools.partial(
+            phong_render, ncfg=mc.nerf, radius=radius, n_steps=n_steps))
+        rgbs = []
+        for i in range(0, n + pad, chunk):
+            out = geo_chunk(state.params["nerf"], pixels_p[i:i + chunk],
+                            camera_mat, world_mat, None)
+            rgbs.append(np.asarray(out["rgb"]))
+        return np.concatenate(rgbs)[:n].reshape(h, w, 3)
