@@ -115,7 +115,10 @@ def train(cfg: dict, synthetic: bool = False, max_epochs: Optional[int] = None):
     eval_img_every = t_cfg["eval_img_every"]
 
     from ..data import frame_iterator, batch_for_frame
+    from ..utils.profiling import StepTimer, profile_trace
     vis_batch = batch_for_frame(scene, 0, rng=np.random.RandomState(seed))
+    timer = StepTimer(rays_per_step=t_cfg["n_training_points"])
+    log_scale_shift = t_cfg["log_scale_shift_per_view"]
 
     t0b = time.time()
     psnr = 0.0
@@ -129,16 +132,23 @@ def train(cfg: dict, synthetic: bool = False, max_epochs: Optional[int] = None):
                                     seed=seed + epoch_it):
             it += 1
             state, ld = trainer.step(state, batch, epoch_it, scheduling_start)
+            timer.tick()
             l2_epoch.append(float(ld["l2_mean"]))
 
             if print_every > 0 and it % print_every == 0:
                 loss = float(ld["loss"])
                 print(f"[Epoch {epoch_it:02d}] it={it:03d}, loss={loss:.8f}, "
-                      f"time={time.time() - t0b:.4f}")
+                      f"time={time.time() - t0b:.4f} ({timer.summary()})")
                 t0b = time.time()
                 if writer:
                     for k, v in ld.items():
                         writer.add_scalar(f"train/{k}", float(v), it)
+                    writer.add_scalar("perf/rays_per_s", timer.rays_per_s, it)
+                    if log_scale_shift:
+                        writer.add_scalar(f"train/scale_view{int(batch['idx']):02d}",
+                                          float(ld["scale"]), it)
+                        writer.add_scalar(f"train/shift_view{int(batch['idx']):02d}",
+                                          float(ld["shift"]), it)
 
             if visualize_every > 0 and it % visualize_every == 0:
                 out = trainer.render_frame(state, vis_batch,

@@ -135,6 +135,44 @@ def rgb_s_loss(rgb1: jax.Array, rgb2: jax.Array, valid: jax.Array,
     return masked_mean(diff, jnp.broadcast_to(valid, diff.shape))
 
 
+def reprojection_loss(rgb: jax.Array, rgb_refs, valid_points: jax.Array,
+                      rgb_refs_ori, with_auto_mask: bool = False) -> jax.Array:
+    """Multi-reference photometric reprojection loss with optional auto-masking
+    (`get_reprojection_loss`, losses.py:67-77): pixels where the warped reference
+    matches worse than the *unwarped* one are dropped (moving-object heuristic)."""
+    total = jnp.asarray(0.0, rgb.dtype)
+    for rgb_ref, rgb_ref_ori in zip(rgb_refs, rgb_refs_ori):
+        diff = jnp.abs(rgb - rgb_ref)
+        valid = valid_points
+        if with_auto_mask:
+            auto = (jnp.mean(diff, axis=-1, keepdims=True)
+                    < jnp.mean(jnp.abs(rgb - rgb_ref_ori), axis=-1, keepdims=True)
+                    ).astype(rgb.dtype) * valid
+            valid = auto
+        total = total + masked_mean(diff, jnp.broadcast_to(valid, diff.shape))
+    return total / len(rgb_refs)
+
+
+def dpt_reprojection_loss(rgb: jax.Array, rgb_refs, valid_points: jax.Array,
+                          rgb_img_refs_ori, with_auto_mask: bool = False,
+                          with_ssim: bool = False) -> jax.Array:
+    """DPT-mode reprojection loss with clamp + optional SSIM mixing
+    (`get_DPT_reprojection_loss`, losses.py:88-104)."""
+    total = jnp.asarray(0.0, rgb.dtype)
+    for rgb_ref, rgb_ref_ori in zip(rgb_refs, rgb_img_refs_ori):
+        diff = jnp.clip(jnp.abs(rgb - rgb_ref), 0.0, 1.0)
+        valid = valid_points
+        if with_auto_mask:
+            auto = (jnp.mean(diff, axis=-1, keepdims=True)
+                    < jnp.mean(jnp.abs(rgb - rgb_ref_ori), axis=-1, keepdims=True)
+                    ).astype(rgb.dtype) * valid
+            valid = auto
+        if with_ssim:
+            diff = 0.15 * diff + 0.85 * ssim_loss_map(rgb, rgb_ref)
+        total = total + masked_mean(diff, jnp.broadcast_to(valid, diff.shape))
+    return total / len(rgb_refs)
+
+
 def depth_consistency_loss(d1_proj: jax.Array, d2: jax.Array,
                            d2_proj: Optional[jax.Array] = None,
                            d1: Optional[jax.Array] = None) -> jax.Array:

@@ -1,0 +1,56 @@
+"""Tests for auxiliary pieces: reprojection-loss variants, profiling utils."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from nope_nerf_tpu.losses import reprojection_loss, dpt_reprojection_loss
+from nope_nerf_tpu.utils.profiling import StepTimer, profile_trace
+
+
+def test_reprojection_loss_auto_mask():
+    rng = np.random.RandomState(0)
+    rgb = jnp.asarray(rng.rand(6, 8, 3), jnp.float32)
+    good_ref = rgb + 0.01          # warped ref matches well
+    bad_ref = jnp.asarray(rng.rand(6, 8, 3), jnp.float32)
+    ori = jnp.asarray(rng.rand(6, 8, 3), jnp.float32)
+    valid = jnp.ones((6, 8, 1), jnp.float32)
+
+    # without auto mask: loss over everything
+    l_plain = float(reprojection_loss(rgb, [good_ref], valid, [ori]))
+    np.testing.assert_allclose(l_plain, 0.01, rtol=1e-4)
+    # auto mask keeps pixels where warp beats the unwarped reference; good_ref
+    # always beats a random ori, so the loss is unchanged
+    l_auto = float(reprojection_loss(rgb, [good_ref], valid, [ori],
+                                     with_auto_mask=True))
+    np.testing.assert_allclose(l_auto, l_plain, rtol=1e-4)
+    # a bad warp loses to its own ori everywhere -> fully masked -> 0
+    l_bad = float(reprojection_loss(rgb, [bad_ref], valid, [bad_ref],
+                                    with_auto_mask=True))
+    assert l_bad == 0.0
+
+
+def test_dpt_reprojection_loss_clamps_and_averages():
+    rng = np.random.RandomState(1)
+    rgb = jnp.asarray(rng.rand(5, 5, 3), jnp.float32)
+    refs = [rgb + 2.0, rgb]  # first diff clamps to 1, second is 0
+    valid = jnp.ones((5, 5, 1), jnp.float32)
+    l = float(dpt_reprojection_loss(rgb, refs, valid, refs))
+    np.testing.assert_allclose(l, 0.5, rtol=1e-5)  # (1 + 0) / 2
+
+
+def test_step_timer():
+    t = StepTimer(rays_per_step=1024, window=10)
+    import time
+    t.tick()
+    for _ in range(3):
+        time.sleep(0.01)
+        t.tick()
+    assert 10 < t.steps_per_s < 200
+    assert t.rays_per_s == pytest.approx(t.steps_per_s * 1024)
+    assert "rays/s" in t.summary()
+
+
+def test_profile_trace_noop():
+    with profile_trace(None):
+        pass  # must not raise
