@@ -164,6 +164,19 @@ def train(cfg: dict, synthetic: bool = False, max_epochs: Optional[int] = None):
                     np.clip(255.0 / max(d.max(), 1e-6) * (d - d.min()), 0,
                             255).astype(np.uint8))
 
+            vis_reproj_every = t_cfg["vis_reprojection_every"]
+            if (vis_reproj_every > 0 and it % vis_reproj_every == 0
+                    and mc.pose is not None
+                    and (mc.loss.use_pc or mc.loss.use_rgb_s)):
+                import imageio
+                a, b, _ = trainer.reprojection_pair(state, batch)
+                imageio.imwrite(
+                    os.path.join(render_path, f"{it}_{int(batch['idx']):04d}_img1.png"),
+                    (np.clip(a, 0, 1) * 255).astype(np.uint8))
+                imageio.imwrite(
+                    os.path.join(render_path, f"{it}_{int(batch['idx']):04d}_img2.png"),
+                    (np.clip(b, 0, 1) * 255).astype(np.uint8))
+
             if checkpoint_every > 0 and it % checkpoint_every == 0:
                 save_checkpoint(out_dir, t_cfg["load_dir"], state,
                                 {"epoch_it": epoch_it,
@@ -193,6 +206,18 @@ def train(cfg: dict, synthetic: bool = False, max_epochs: Optional[int] = None):
 
         if t_cfg["auto_scheduler"]:
             scheduling_start = auto.update(psnr, epoch_it, scheduling_start)
+
+        if (t_cfg["scheduling_mode"] == "reset"
+                and epoch_it == scheduling_start):
+            # re-initialize every Linear at decay start (reference train.py:347-350)
+            from ..models.nerf import reset_linear_params
+            params = dict(state.params)
+            params["nerf"] = reset_linear_params(
+                jax.random.fold_in(jax.random.key(seed), epoch_it),
+                state.params["nerf"], mc.nerf)
+            state = type(state)(params=params, opt_state=state.opt_state,
+                                it=state.it, rng=state.rng)
+            print(f"scheduling_mode=reset: re-initialized NeRF at epoch {epoch_it}")
 
     save_checkpoint(out_dir, t_cfg["load_dir"], state,
                     {"epoch_it": epoch_it, "scheduling_start": scheduling_start,

@@ -442,6 +442,57 @@ class Trainer:
         depth = np.concatenate(depths)[:n].reshape(h, w)
         return {"rgb": rgb, "depth": depth}
 
+    def reprojection_pair(self, state: TrainState, batch: Dict[str, jax.Array]):
+        """The photometric warp pair (rgb_pc1, rgb_pc1_proj, valid) as numpy images
+        — the reference dumps these every vis_reprojection_every iterations
+        (training.py:383-393). Recomputed host-side on demand."""
+        import numpy as np
+        mc = self.mc
+        params = state.params
+        img, ref_img = jnp.asarray(batch["img"]), jnp.asarray(batch["ref_img"])
+        h, w, _ = img.shape
+        idx, ref_idx = batch["idx"], batch["ref_idx"]
+        nl = mc.nearest_limit
+
+        c2w = pose_c2w(params["pose"], idx, mc.pose)
+        c2w_ref = pose_c2w(params["pose"], ref_idx, mc.pose)
+        world_mat = jnp.linalg.inv(c2w)
+        ref_Rt = jnp.linalg.inv(c2w_ref)
+        depth = jnp.asarray(batch["depth"])
+        depth_ref = jnp.asarray(batch["ref_depth"])
+        if mc.distortion is not None:
+            s, sh_ = distortion_scale_shift(params["distortion"], idx, mc.distortion)
+            depth = _apply_distortion(depth, s[0], sh_[0], mc.shift_first)
+            s2, sh2 = distortion_scale_shift(params["distortion"], ref_idx,
+                                             mc.distortion)
+            depth_ref = _apply_distortion(depth_ref, s2[0], sh2[0], mc.shift_first)
+        camera_mat = jnp.asarray(batch["camera_mat"])
+
+        fwd = bool(idx < (mc.pose.num_cams - 1))
+        d1 = depth if fwd else depth_ref
+        img1 = img if fwd else ref_img
+        img2 = ref_img if fwd else img
+        Rt_rel = (ref_Rt @ jnp.linalg.inv(world_mat) if fwd
+                  else world_mat @ jnp.linalg.inv(ref_Rt))
+
+        sh_res = (h // mc.pc_ratio, w // mc.pc_ratio)
+        _, p_pc = pixel_grid(sh_res, dtype=img.dtype)
+        d1s = jnp.maximum(resize_nearest(d1[..., None], sh_res).reshape(-1), nl)
+        pc1 = transform_to_world(p_pc, d1s[:, None], camera_mat)
+        img1s = resize_bilinear(img1, sh_res)
+        img2s = resize_bilinear(img2, sh_res)
+        rgb_pc1 = get_tensor_values(img1s, p_pc, mode="bilinear", scale=False,
+                                    align_corners=True)
+        pc1_rot = pc1 @ Rt_rel[:3, :3].T + Rt_rel[:3, 3]
+        invalid = (-pc1_rot[:, 2:]) < nl
+        pc1_rot = jnp.where(jnp.broadcast_to(invalid, pc1_rot.shape), nl, pc1_rot)
+        p_reproj, valid = project_to_cam(pc1_rot, camera_mat)
+        rgb_proj = get_tensor_values(img2s, p_reproj, mode="bilinear", scale=False,
+                                     align_corners=True)
+        return (np.asarray(rgb_pc1).reshape(*sh_res, 3),
+                np.asarray(rgb_proj).reshape(*sh_res, 3),
+                np.asarray(valid).reshape(*sh_res))
+
     def render_geo(self, state: TrainState, batch: Dict[str, jax.Array],
                    resolution: Tuple[int, int], chunk: int = 1024,
                    radius: float = 4.0, n_steps: int = 512):
