@@ -71,6 +71,9 @@ DEFAULTS: Dict[str, Any] = {
         "normal_loss": False,
         "sample_option": "uniform",
         "outside_steps": 0,
+        # TPU-build extension: hierarchical importance samples per ray (0 = off,
+        # reference parity)
+        "n_importance": 0,
     },
     "depth": {
         "type": None,

@@ -42,6 +42,10 @@ class RenderConfig:
     normalise_ray: bool = True
     normal_loss: bool = False
     sample_option: str = "uniform"   # 'uniform' | 'ndc'
+    # Hierarchical (importance) sampling: extra fine samples per ray drawn from the
+    # coarse weight distribution. 0 = off (reference parity — the reference has no
+    # hierarchical sampler; this is a TPU-build extension per the north star).
+    n_importance: int = 0
 
     @classmethod
     def from_cfg(cls, cfg: dict) -> "RenderConfig":
@@ -54,7 +58,8 @@ class RenderConfig:
                    use_ray_dir=r["use_ray_dir"],
                    normalise_ray=r["normalise_ray"],
                    normal_loss=r["normal_loss"],
-                   sample_option=r["sample_option"])
+                   sample_option=r["sample_option"],
+                   n_importance=r.get("n_importance", 0))
 
 
 def sample_uniform(key: Optional[jax.Array], n_rays: int, steps: int,
@@ -76,6 +81,43 @@ def sample_uniform(key: Optional[jax.Array], n_rays: int, steps: int,
         noise = jax.random.uniform(key, (n_rays, steps), dtype)
         z = low + (high - low) * noise
     return z
+
+
+def sample_pdf(key: jax.Array, z_vals: jax.Array, weights: jax.Array,
+               n_importance: int, deterministic: bool = False) -> jax.Array:
+    """Inverse-CDF importance sampling of n_importance extra depths per ray.
+
+    NO reference counterpart — the reference only has stratified/NDC sampling;
+    this is the classic NeRF hierarchical sampler (BASELINE.json north star),
+    implemented with static shapes: piecewise-constant pdf over z-interval
+    midpoints, searchsorted inversion. Returns (N, n_importance), unsorted.
+    """
+    mids = 0.5 * (z_vals[:, 1:] + z_vals[:, :-1])            # (N, S-1)
+    w = weights[:, 1:-1] + 1e-5                              # interior weights
+    pdf = w / jnp.sum(w, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[:, :1]), cdf], axis=-1)  # (N, S-1)
+
+    n = z_vals.shape[0]
+    if deterministic:
+        u = jnp.broadcast_to(jnp.linspace(0.0, 1.0 - 1e-5, n_importance),
+                             (n, n_importance))
+    else:
+        u = jax.random.uniform(key, (n, n_importance), z_vals.dtype,
+                               0.0, 1.0 - 1e-5)
+
+    idx = jax.vmap(jnp.searchsorted, in_axes=(0, 0))(cdf, u)  # right bin edge
+    below = jnp.clip(idx - 1, 0, cdf.shape[1] - 1)
+    above = jnp.clip(idx, 0, cdf.shape[1] - 1)
+
+    cdf_b = jnp.take_along_axis(cdf, below, axis=1)
+    cdf_a = jnp.take_along_axis(cdf, above, axis=1)
+    mid_b = jnp.take_along_axis(mids, jnp.clip(below, 0, mids.shape[1] - 1), axis=1)
+    mid_a = jnp.take_along_axis(mids, jnp.clip(above, 0, mids.shape[1] - 1), axis=1)
+
+    denom = jnp.where(cdf_a - cdf_b < 1e-8, 1.0, cdf_a - cdf_b)
+    t = (u - cdf_b) / denom
+    return mid_b + t * (mid_a - mid_b)
 
 
 def composite(rgb: jax.Array, alpha: jax.Array,
@@ -149,19 +191,43 @@ def render_nope_nerf(nerf_params: Dict[str, jax.Array],
                                add_noise, dtype)
         pts = origin[None, None, :] + ray_vec[:, None, :] * z_val[..., None]
 
-    # Direction the MLP sees is the *negated* ray (rendering.py:179,196).
-    if rcfg.use_ray_dir:
-        dirs = jnp.broadcast_to(-ray_vec[:, None, :], pts.shape)
-    else:
-        dirs = jnp.ones_like(pts)
+    def _query_mlp(pts, dirs):
+        if ncfg.use_pallas:
+            from .pallas_mlp import nerf_apply_fused
+            return nerf_apply_fused(nerf_params, pts.reshape(-1, 3),
+                                    dirs.reshape(-1, 3), ncfg)
+        return nerf_apply(nerf_params, pts.reshape(-1, 3),
+                          dirs.reshape(-1, 3), ncfg)
 
-    if ncfg.use_pallas:
-        from .pallas_mlp import nerf_apply_fused
-        rgb, density = nerf_apply_fused(nerf_params, pts.reshape(-1, 3),
-                                        dirs.reshape(-1, 3), ncfg)
-    else:
-        rgb, density = nerf_apply(nerf_params, pts.reshape(-1, 3),
-                                  dirs.reshape(-1, 3), ncfg)
+    def _dirs_for(pts):
+        # Direction the MLP sees is the *negated* ray (rendering.py:179,196).
+        if rcfg.use_ray_dir:
+            return jnp.broadcast_to(-ray_vec[:, None, :], pts.shape)
+        return jnp.ones_like(pts)
+
+    dirs = _dirs_for(pts)
+
+    if rcfg.n_importance > 0 and rcfg.sample_option != "ndc":
+        # Hierarchical pass (no reference counterpart): coarse weights ->
+        # inverse-CDF resample -> merged, sorted sample set re-queried.
+        rgb_c, density_c = _query_mlp(pts, dirs)
+        alpha_c = density_c.reshape(n_rays, fg_steps)
+        if rcfg.dist_alpha:
+            deltas_c = jnp.concatenate(
+                [z_val[:, 1:] - z_val[:, :-1],
+                 jnp.full_like(z_val[:, :1], 1e10)], axis=-1)
+            alpha_c = 1.0 - jnp.exp(-alpha_c * deltas_c)
+        _, _, w_coarse = composite(rgb_c.reshape(n_rays, fg_steps, 3), alpha_c,
+                                   z_val)
+        kfine = jax.random.fold_in(key, 1) if key is not None else None
+        z_fine = sample_pdf(kfine, z_val, jax.lax.stop_gradient(w_coarse),
+                            rcfg.n_importance, deterministic=key is None)
+        z_val = jnp.sort(jnp.concatenate([z_val, z_fine], axis=-1), axis=-1)
+        steps = fg_steps + rcfg.n_importance
+        pts = origin[None, None, :] + ray_vec[:, None, :] * z_val[..., None]
+        dirs = _dirs_for(pts)
+
+    rgb, density = _query_mlp(pts, dirs)
     rgb = rgb.reshape(n_rays, steps, 3)
     alpha = density.reshape(n_rays, steps)
 
