@@ -61,6 +61,7 @@ def train(cfg: dict, synthetic: bool = False, max_epochs: Optional[int] = None):
 
     scene = build_scene(cfg, synthetic)
     n_views = scene.n_frames
+    scene = scene.to_device()  # one-time upload; steps gather on device
     mc = ModelConfigs.from_cfg(cfg, num_cams=n_views)
 
     init_c2w = None
@@ -133,7 +134,9 @@ def train(cfg: dict, synthetic: bool = False, max_epochs: Optional[int] = None):
             it += 1
             state, ld = trainer.step(state, batch, epoch_it, scheduling_start)
             timer.tick()
-            l2_epoch.append(float(ld["l2_mean"]))
+            # keep the scalar ON DEVICE: a float() here would synchronously round-
+            # trip the transport every step; the epoch mean reads back once below
+            l2_epoch.append(ld["l2_mean"])
 
             if print_every > 0 and it % print_every == 0:
                 loss = float(ld["loss"])
@@ -199,7 +202,7 @@ def train(cfg: dict, synthetic: bool = False, max_epochs: Optional[int] = None):
                     writer.add_scalar(f"eval/{k}", v, it)
 
         if eval_img_every > 0 and epoch_it % eval_img_every == 0:
-            psnr = float(mse2psnr(np.mean(l2_epoch)))
+            psnr = float(mse2psnr(float(jnp.mean(jnp.stack(l2_epoch)))))
             print(f"{epoch_it:6d} ep: Train PSNR {psnr:.3f}")
             if writer:
                 writer.add_scalar("train/psnr", psnr, it)

@@ -35,6 +35,19 @@ class SceneData:
     def n_frames(self) -> int:
         return self.imgs.shape[0]
 
+    def to_device(self) -> "SceneData":
+        """Upload the per-frame arrays once; batch_for_frame then slices device
+        arrays (an on-device gather) instead of re-uploading ~1MB per step —
+        significant when the accelerator sits behind a remote transport."""
+        import jax.numpy as jnp
+        return dataclasses.replace(
+            self,
+            imgs=jnp.asarray(self.imgs),
+            depths=jnp.asarray(self.depths),
+            depth_masks=jnp.asarray(self.depth_masks),
+            c2ws_gt=jnp.asarray(self.c2ws_gt),
+            K=jnp.asarray(self.K))
+
     @classmethod
     def from_dict(cls, d: dict) -> "SceneData":
         return cls(imgs=d["imgs"], depths=d["depths"], depth_masks=d["depth_masks"],

@@ -371,6 +371,10 @@ class Trainer:
                        "distortion": t["scheduler_gamma_distortion"]}
         self.decay_intervals = {"nerf": 10, "pose": 100, "focal": 100,
                                 "distortion": 100}
+        # schedule scalars change once per epoch — cache their device arrays so a
+        # step doesn't pay ~16 host->device scalar uploads (costly over remote
+        # device transports)
+        self._sched_cache = {}
 
     def lrs_at(self, epoch: int, scheduling_start: int) -> Dict[str, jnp.ndarray]:
         from .scheduler import lr_at_epoch
@@ -390,10 +394,15 @@ class Trainer:
 
     def step(self, state: TrainState, batch: Dict[str, jax.Array], epoch: int,
              scheduling_start: int) -> Tuple[TrainState, Dict[str, jax.Array]]:
-        return train_step(state, batch,
-                          self.weights_at(epoch, scheduling_start),
-                          self.lrs_at(epoch, scheduling_start),
-                          self.mc, self.rgb_loss_type(epoch, scheduling_start),
+        key = (epoch, scheduling_start)
+        sched = self._sched_cache.get(key)
+        if sched is None:
+            sched = (self.weights_at(epoch, scheduling_start),
+                     self.lrs_at(epoch, scheduling_start),
+                     self.rgb_loss_type(epoch, scheduling_start))
+            self._sched_cache = {key: sched}  # keep only the current epoch
+        weights, lrs, rgb_loss_type = sched
+        return train_step(state, batch, weights, lrs, self.mc, rgb_loss_type,
                           self.optimizers, self.mesh)
 
     def render_frame(self, state: TrainState, batch: Dict[str, jax.Array],
