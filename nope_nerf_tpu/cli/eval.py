@@ -58,28 +58,33 @@ def evaluate(cfg: dict, synthetic: bool = False):
         raise FileNotFoundError(f"no checkpoint in {out_dir}")
     state, _ = loaded
 
-    # test-pose init + optimization
     learned_train = np.asarray(pose_c2w_all(state.params["pose"], mc.pose)) \
         if mc.pose is not None else np.asarray(train_scene.c2ws_gt)
-    init_method = cfg["eval_pose"]["init_method"]
-    init_c2ws = init_test_poses(
-        init_method,
-        eval_scene.c2ws_init if eval_scene.c2ws_init is not None
-        else eval_scene.c2ws_gt,
-        learned_train,
-        train_scene.c2ws_init if train_scene.c2ws_init is not None
-        else train_scene.c2ws_gt,
-        sample_rate, eval_scene.n_frames)
 
-    focal_params = state.params.get("focal")
-    from ..models.intrinsics import FocalConfig
-    fcfg = mc.focal
-    _, eval_c2ws = optimize_test_poses(
-        state.params["nerf"], focal_params, eval_scene, mc.nerf, mc.render,
-        init_c2ws=init_c2ws, fcfg=fcfg,
-        n_points=cfg["eval_pose"]["n_points"],
-        n_epochs=cfg["eval_pose"]["opt_pose_epoch"],
-        lr=cfg["eval_pose"]["opt_eval_lr"])
+    if cfg["eval_pose"]["type_to_eval"] == "train":
+        # evaluate on TRAIN views with the learned poses directly
+        # (reference evaluation/eval.py:98-101) — no test-pose optimization
+        eval_scene = train_scene
+        eval_c2ws = learned_train
+    else:
+        # test views: init + optimize fresh poses against the frozen NeRF
+        init_method = cfg["eval_pose"]["init_method"]
+        init_c2ws = init_test_poses(
+            init_method,
+            eval_scene.c2ws_init if eval_scene.c2ws_init is not None
+            else eval_scene.c2ws_gt,
+            learned_train,
+            train_scene.c2ws_init if train_scene.c2ws_init is not None
+            else train_scene.c2ws_gt,
+            sample_rate, eval_scene.n_frames)
+
+        focal_params = state.params.get("focal")
+        _, eval_c2ws = optimize_test_poses(
+            state.params["nerf"], focal_params, eval_scene, mc.nerf, mc.render,
+            init_c2ws=init_c2ws, fcfg=mc.focal,
+            n_points=cfg["eval_pose"]["n_points"],
+            n_epochs=cfg["eval_pose"]["opt_pose_epoch"],
+            lr=cfg["eval_pose"]["opt_eval_lr"])
 
     # render + evaluate each view
     trainer = Trainer(cfg, mc, optimizers)

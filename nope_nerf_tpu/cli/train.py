@@ -109,6 +109,7 @@ def train(cfg: dict, synthetic: bool = False, max_epochs: Optional[int] = None):
 
     scheduling_epoch = t_cfg["scheduling_epoch"]
     print_every = t_cfg["print_every"]
+    validate_every = t_cfg["validate_every"]
     checkpoint_every = t_cfg["checkpoint_every"]
     backup_every = t_cfg["backup_every"]
     visualize_every = t_cfg["visualize_every"]
@@ -166,6 +167,19 @@ def train(cfg: dict, synthetic: bool = False, max_epochs: Optional[int] = None):
                     os.path.join(vis_dir, "depth.png"),
                     np.clip(255.0 / max(d.max(), 1e-6) * (d - d.min()), 0,
                             255).astype(np.uint8))
+
+            if validate_every > 0 and it % validate_every == 0:
+                # render the held-out vis frame and log PSNR (reference
+                # Trainer.evaluate via validate_every, train.py:245-249)
+                from ..evaluation.image_eval import eval_image
+                h_v, w_v = np.asarray(vis_batch["img"]).shape[:2]
+                out_v = trainer.render_frame(state, vis_batch, (h_v, w_v))
+                r = eval_image(out_v["rgb"], np.asarray(vis_batch["img"]),
+                               with_lpips=False)
+                print(f"  val: PSNR {r['psnr']:.2f} SSIM {r['ssim']:.3f}")
+                if writer:
+                    writer.add_scalar("val/psnr", r["psnr"], it)
+                    writer.add_scalar("val/ssim", r["ssim"], it)
 
             vis_reproj_every = t_cfg["vis_reprojection_every"]
             if (vis_reproj_every > 0 and it % vis_reproj_every == 0
