@@ -194,6 +194,7 @@ DEFAULTS: Dict[str, Any] = {
         "param_dtype": "float32",
         "compute_dtype": "bfloat16",  # MLP matmul operand dtype; 'float32' for exact reference parity
         "use_pallas_renderer": True,
+        "use_pallas_chamfer": False,  # scan path measured equally fast on v5e
         "donate_state": True,
         "profile_dir": None,
         "seed": 42,

@@ -211,6 +211,7 @@ def compute_losses(cfg: LossConfig,
                    rt_12: Optional[jax.Array] = None,
                    rt_12_gt: Optional[jax.Array] = None,
                    chamfer_tile: int = 2048,
+                   chamfer_use_pallas: bool = False,
                    precomputed: Optional[Dict[str, jax.Array]] = None
                    ) -> Dict[str, jax.Array]:
     """Weighted total + per-term dict (parity with Loss.forward, losses.py:164-228).
@@ -242,7 +243,9 @@ def compute_losses(cfg: LossConfig,
     else:
         l_dist_1st, l_dist_2nd = zero, zero
 
-    l_pc = chamfer_loss(pc_x, pc_y, tile=chamfer_tile) if cfg.use_pc else zero
+    l_pc = (chamfer_loss(pc_x, pc_y, tile=chamfer_tile,
+                     use_pallas=chamfer_use_pallas)
+            if cfg.use_pc else zero)
 
     l_rgb_s = (rgb_s_loss(rgb_pc1, rgb_pc1_proj, valid_points, cfg.with_ssim)
                if cfg.use_rgb_s else zero)

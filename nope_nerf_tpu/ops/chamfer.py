@@ -62,7 +62,12 @@ def nearest_dists(src: jax.Array, dst: jax.Array, tile: int = 2048) -> jax.Array
     return jnp.linalg.norm(src - matched, axis=-1)
 
 
-def chamfer_loss(x: jax.Array, y: jax.Array, tile: int = 2048) -> jax.Array:
+def chamfer_loss(x: jax.Array, y: jax.Array, tile: int = 2048,
+                 use_pallas: bool = False) -> jax.Array:
     """mean_nn(x->y) + mean_nn(y->x), scalar. Reference: `get_pc_loss`,
-    losses.py:116-123 (match_method='dense')."""
+    losses.py:116-123 (match_method='dense'). With use_pallas, the argmin sweep
+    runs as a VMEM-resident kernel (see pallas_chamfer.py)."""
+    if use_pallas:
+        from .pallas_chamfer import nearest_dists_pallas as nd
+        return jnp.mean(nd(x, y)) + jnp.mean(nd(y, x))
     return jnp.mean(nearest_dists(x, y, tile)) + jnp.mean(nearest_dists(y, x, tile))

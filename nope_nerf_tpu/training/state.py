@@ -51,6 +51,7 @@ class ModelConfigs:
     chamfer_tile: int = 2048
     weight_decay: float = 0.0
     stratified_noise: bool = True  # per-interval jitter during training renders
+    use_pallas_chamfer: bool = False  # VMEM-resident Chamfer argmin kernel
 
     @classmethod
     def from_cfg(cls, cfg: dict, num_cams: int) -> "ModelConfigs":
@@ -73,6 +74,11 @@ class ModelConfigs:
             scale_pcs=t["scale_pcs"],
             use_sparse_depth_resample=cfg["dataloading"]["with_depth"],
             weight_decay=t["weight_decay"],
+            # measured: the XLA lax.scan Chamfer matches the Pallas kernel's speed
+            # on v5e (the K=3 matmuls underuse the MXU either way), so the kernel
+            # stays opt-in
+            use_pallas_chamfer=bool(cfg.get("tpu", {}).get("use_pallas_chamfer",
+                                                           False)),
         )
 
 

@@ -305,7 +305,8 @@ def compute_step_loss(params: Dict[str, Any], batch: Dict[str, jax.Array],
 
     loss_dict = compute_losses(
         lcfg, weights, rgb_loss_type=rgb_loss_type, t_list=t_list,
-        chamfer_tile=mc.chamfer_tile, precomputed=precomputed, **loss_kwargs)
+        chamfer_tile=mc.chamfer_tile, chamfer_use_pallas=mc.use_pallas_chamfer,
+        precomputed=precomputed, **loss_kwargs)
     loss_dict["scale"] = scale_in[0]
     loss_dict["shift"] = shift_in[0]
     return loss_dict["loss"], loss_dict
