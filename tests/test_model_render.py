@@ -219,3 +219,21 @@ def test_distortion_clamp_and_fixN():
     assert np.isclose(float(s0[0]), 0.01)   # clamped
     assert np.isclose(float(s1[0]), 0.5)
     assert np.isclose(float(s2[0]), 1.0)    # pinned last frame
+
+
+def test_ndc_render_path():
+    """sample_option='ndc' (rendering.py:169-181): linspace in NDC, negated-dir
+    encoding, depth_gt transformed to 1 - 1/d (rendering.py:158-159)."""
+    params = init_nerf_params(jax.random.key(0), TINY)
+    rcfg = RenderConfig(num_points=8, sample_option="ndc", normalise_ray=False)
+    K, world, pixels, depth = _frame()
+    out = render_nope_nerf(params, pixels, depth, K, world, None,
+                           None, rcfg, TINY, add_noise=False)
+    assert out["rgb"].shape == (32, 3)
+    assert bool(jnp.all(jnp.isfinite(out["rgb"])))
+    # z values are the NDC linspace [0, 1]
+    z = np.asarray(out["z_vals"])
+    np.testing.assert_allclose(z[:, 0], 0.0, atol=1e-6)
+    np.testing.assert_allclose(z[:, -1], 1.0, atol=1e-6)
+    # depth_gt = 1 - 1/d of the (depth-normalized) prior distance
+    assert np.all(np.asarray(out["depth_gt"]) < 1.0)
