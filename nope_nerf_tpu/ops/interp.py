@@ -112,9 +112,12 @@ def _resize_matmul(image: jax.Array, size: Tuple[int, int], weight_fn) -> jax.Ar
     h_in, w_in, c = image.shape
     wh = jnp.asarray(weight_fn(h_out, h_in))
     ww = jnp.asarray(weight_fn(w_out, w_in))
-    # rows: (h_out, H) @ (H, W*C)
-    tmp = (wh @ image.reshape(h_in, w_in * c)).reshape(h_out, w_in, c)
-    tmp = jnp.einsum("hwc,vw->hvc", tmp, ww)
+    # rows: (h_out, H) @ (H, W*C); HIGHEST precision — TPU matmuls default to
+    # bf16 multiplies, which visibly degrades resized images/depths
+    tmp = jnp.matmul(wh, image.reshape(h_in, w_in * c),
+                     precision=jax.lax.Precision.HIGHEST).reshape(h_out, w_in, c)
+    tmp = jnp.einsum("hwc,vw->hvc", tmp, ww,
+                     precision=jax.lax.Precision.HIGHEST)
     return tmp
 
 

@@ -33,7 +33,8 @@ def _box3(x: jax.Array) -> jax.Array:
     return jax.lax.conv_general_dilated(
         x[None], kern, window_strides=(1, 1), padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=c)[0]
+        feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST)[0]
 
 
 def ssim_loss_map(x: jax.Array, y: jax.Array) -> jax.Array:
@@ -68,11 +69,14 @@ def ssim(img1: jax.Array, img2: jax.Array, window_size: int = 11,
     pad = window_size // 2
 
     def filt(x):
+        # HIGHEST precision: TPU convs default to bf16 multiplies, and the
+        # E[x^2]-E[x]^2 variance cancellation breaks (SSIM > 1 artifacts)
         return jax.lax.conv_general_dilated(
             x[None], kern, window_strides=(1, 1),
             padding=[(pad, pad), (pad, pad)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=c)[0]
+            feature_group_count=c,
+            precision=jax.lax.Precision.HIGHEST)[0]
 
     mu1, mu2 = filt(img1), filt(img2)
     mu1_sq, mu2_sq, mu12 = mu1 ** 2, mu2 ** 2, mu1 * mu2
