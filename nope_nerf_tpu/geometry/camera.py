@@ -7,6 +7,10 @@ here the composition  P = scale_mat^-1 @ world_mat^-1 @ camera_mat^-1  is comput
 (4x4 work, negligible) and applied to all pixels as a single (N,4)x(4,4) matmul that XLA
 maps straight onto the MXU.
 
+All 4x4-transform applications pin HIGHEST matmul precision: TPU matmuls default
+to bf16 multiplies, which would quantize ray origins/directions to ~3 decimal
+digits and poison pose gradients.
+
 Conventions (identical to the reference — the #1 parity risk, see SURVEY.md §7):
 - pixels live in [-1, 1]^2 with x = 2*px/(W-1) - 1 (`arange_pixels`, common.py:13-40);
 - the camera matrix is  K = [[2fx/W,0,0,0],[0,-2fy/H,0,0],[0,0,-1,0],[0,0,0,1]]
@@ -91,7 +95,7 @@ def transform_to_world(pixels: jax.Array, depth: jax.Array, camera_mat: jax.Arra
     d = depth.reshape(-1, 1)
     hom = jnp.concatenate(
         [pixels * d, d, jnp.ones_like(d)], axis=-1)  # (N, 4)
-    p_world = hom @ P.T
+    p_world = jnp.matmul(hom, P.T, precision=jax.lax.Precision.HIGHEST)
     return p_world[:, :3]
 
 
@@ -125,7 +129,7 @@ def transform_to_camera_space(p_world: jax.Array, camera_mat: jax.Array,
         scale_mat = jnp.eye(4, dtype=p_world.dtype)
     M = camera_mat @ world_mat @ scale_mat
     hom = jnp.concatenate([p_world, jnp.ones_like(p_world[:, :1])], axis=-1)
-    return (hom @ M.T)[:, :3]
+    return jnp.matmul(hom, M.T, precision=jax.lax.Precision.HIGHEST)[:, :3]
 
 
 def rays_from_pixels(pixels: jax.Array, camera_mat: jax.Array, world_mat: jax.Array,
@@ -141,7 +145,8 @@ def rays_from_pixels(pixels: jax.Array, camera_mat: jax.Array, world_mat: jax.Ar
     origin = (P @ jnp.zeros((4,), camera_mat.dtype).at[3].set(1.0))[:3]
     hom = jnp.concatenate(
         [pixels, jnp.ones_like(pixels[:, :1]), jnp.ones_like(pixels[:, :1])], axis=-1)
-    pixels_world = (hom @ P.T)[:, :3]
+    pixels_world = jnp.matmul(hom, P.T,
+                              precision=jax.lax.Precision.HIGHEST)[:, :3]
     ray_vec = pixels_world - origin
     ray_norm = jnp.linalg.norm(ray_vec, axis=-1)
     if normalize:
@@ -154,7 +159,8 @@ def project_to_cam(points: jax.Array, camera_mat: jax.Array) -> Tuple[jax.Array,
     ([-1,1] xy (N, 2), valid mask (N, 1) bool). Reference: `model/common.py:436-457`.
     """
     hom = jnp.concatenate([points, jnp.ones_like(points[:, :1])], axis=-1)
-    xy = (hom @ camera_mat.T)[:, :3]
+    xy = jnp.matmul(hom, camera_mat.T,
+                    precision=jax.lax.Precision.HIGHEST)[:, :3]
     xy = xy[:, :2] / xy[:, 2:]
     valid = (jnp.max(jnp.abs(xy), axis=-1) <= 1.0)[:, None]
     return xy, valid
@@ -167,7 +173,7 @@ def reprojection(pixels: jax.Array, depth: jax.Array, Rt_ref: jax.Array,
     d = depth.reshape(-1, 1)
     hom = jnp.concatenate([pixels * d, d, jnp.ones_like(d)], axis=-1)
     M = camera_mat @ Rt_ref @ jnp.linalg.inv(world_mat) @ jnp.linalg.inv(camera_mat)
-    xy = (hom @ M.T)[:, :3]
+    xy = jnp.matmul(hom, M.T, precision=jax.lax.Precision.HIGHEST)[:, :3]
     xy = xy[:, :2] / xy[:, 2:]
     valid = (jnp.max(jnp.abs(xy), axis=-1) <= 1.0)[:, None].astype(pixels.dtype)
     return xy, valid

@@ -46,7 +46,11 @@ def nearest_dists(src: jax.Array, dst: jax.Array, tile: int = 2048) -> jax.Array
         finite = jnp.isfinite(dst_tile[:, 0])
         dst_clean = jnp.where(finite[:, None], dst_tile, jnp.zeros_like(dst_tile))
         dst_sq = jnp.where(finite, jnp.sum(dst_clean * dst_clean, axis=-1), jnp.inf)
-        cross = src @ dst_clean.T  # (S, tile) — MXU
+        # Default (bf16-multiply) precision is deliberate: it only affects WHICH
+        # neighbor wins among near-ties (gap < ~0.4%), and the returned value
+        # recomputes the exact f32 distance of the winner — so the loss error is
+        # bounded by the tie gap. HIGHEST would double this op's cost (measured).
+        cross = jnp.matmul(src, dst_clean.T)  # MXU
         d2 = src_sq[:, None] + dst_sq[None, :] - 2.0 * cross
         tile_min = jnp.min(d2, axis=-1)
         tile_arg = jnp.argmin(d2, axis=-1) + tile_idx * tile
