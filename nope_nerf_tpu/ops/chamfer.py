@@ -51,16 +51,25 @@ def nearest_dists(src: jax.Array, dst: jax.Array, tile: int = 2048) -> jax.Array
         # recomputes the exact f32 distance of the winner — so the loss error is
         # bounded by the tie gap. HIGHEST would double this op's cost (measured).
         cross = jnp.matmul(src, dst_clean.T)  # MXU
-        d2 = src_sq[:, None] + dst_sq[None, :] - 2.0 * cross
-        tile_min = jnp.min(d2, axis=-1)
+        # d2 is materialized in bf16: halves the (S, tile) HBM round trip, the
+        # per-step bandwidth floor of this op. Like the bf16 cross-product above
+        # it only affects which near-tied neighbor wins; the exact f32 distance
+        # of the winner is recomputed below.
+        d2 = (src_sq[:, None] + dst_sq[None, :] - 2.0 * cross).astype(jnp.bfloat16)
+        tile_min = jnp.min(d2, axis=-1).astype(src.dtype)
         tile_arg = jnp.argmin(d2, axis=-1) + tile_idx * tile
         take = tile_min < best_sq
         best_sq = jnp.where(take, tile_min, best_sq)
         best_idx = jnp.where(take, tile_arg, best_idx)
         return (best_sq, best_idx, tile_idx + 1), None
 
-    init = (jnp.full((s,), jnp.inf, src.dtype), jnp.zeros((s,), jnp.int32), 0)
-    (best_sq, best_idx, _), _ = jax.lax.scan(body, init, tiles)
+    # Static unroll (tile count is small and shape-static): no while-loop carry
+    # serialization, XLA overlaps the MXU matmul of tile k+1 with the min/argmin
+    # sweep of tile k.
+    carry = (jnp.full((s,), jnp.inf, src.dtype), jnp.zeros((s,), jnp.int32), 0)
+    for k in range(n_tiles):
+        carry, _ = body(carry, tiles[k])
+    best_sq, best_idx, _ = carry
     # Exact distance of the matched pair (parity with losses.py:147-149).
     matched = dst_padded[best_idx]
     return jnp.linalg.norm(src - matched, axis=-1)

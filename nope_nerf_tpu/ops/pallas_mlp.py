@@ -184,30 +184,15 @@ def _fwd_kernel(pe_ref, de_ref, *refs):
     sig_ref[:] = sig_raw
 
 
-def _bwd_kernel(pe_ref, de_ref, *refs):
-    """Recompute fwd for this tile, backprop, accumulate dW/dB across the grid."""
-    W = tuple(w[:] for w in refs[:14])
-    B = tuple(b[:] for b in refs[14:26])
-    g_rgb_ref, g_sig_ref = refs[26], refs[27]
-    dW_refs = refs[28:42]
-    dB_refs = refs[42:54]
-    dpe_ref, dde_ref = refs[54], refs[55]
+def _bwd_chain(pe, de, acts, g_rgb, g_sig, W, dW_refs, dB_refs):
+    """MLP backward on one tile: accumulate dW/dB into refs, return (dpe, dde) f32.
 
+    `acts` is the activations tuple from _fwd_chain; g_rgb/g_sig are f32 (T, 128)
+    cotangents of rgb_raw/sig_raw. Shared between the point kernel below and the
+    fused ray-render kernel in pallas_render.py.
+    """
     (w0, w01, w02, w03, w4x, w4pe, w41, w42, w43, wd, wf, wrx, wrde, wo) = W
-
-    pe, de = pe_ref[:], de_ref[:]
-    _, _, acts = _fwd_chain(pe, de, W, B)
     (x0, x1, x2, x3, x4, x5, x6, x7, feat, h) = acts
-
-    g_rgb = g_rgb_ref[:]            # f32 (T, 128) — d(loss)/d(rgb_raw)
-    g_sig = g_sig_ref[:]            # f32 (T, 128) — d(loss)/d(sig_raw)
-
-    @pl.when(pl.program_id(0) == 0)
-    def _():
-        for r in dW_refs:
-            r[:] = jnp.zeros_like(r)
-        for r in dB_refs:
-            r[:] = jnp.zeros_like(r)
 
     def dmat(x, g):  # dW = x^T @ g, f32 accumulation on MXU
         return jax.lax.dot_general(_bf16(x), _bf16(g), (((0,), (0,)), ((), ())),
@@ -258,7 +243,30 @@ def _bwd_kernel(pe_ref, de_ref, *refs):
     g = gT(g, w01) * rmask(x0)
     dW_refs[0][:] += dmat(pe, g); dB_refs[0][:] += bsum(g)
     dpe += gT(g, w0)
+    return dpe, dde
 
+
+def _bwd_kernel(pe_ref, de_ref, *refs):
+    """Recompute fwd for this tile, backprop, accumulate dW/dB across the grid."""
+    W = tuple(w[:] for w in refs[:14])
+    B = tuple(b[:] for b in refs[14:26])
+    g_rgb_ref, g_sig_ref = refs[26], refs[27]
+    dW_refs = refs[28:42]
+    dB_refs = refs[42:54]
+    dpe_ref, dde_ref = refs[54], refs[55]
+
+    pe, de = pe_ref[:], de_ref[:]
+    _, _, acts = _fwd_chain(pe, de, W, B)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        for r in dW_refs:
+            r[:] = jnp.zeros_like(r)
+        for r in dB_refs:
+            r[:] = jnp.zeros_like(r)
+
+    dpe, dde = _bwd_chain(pe, de, acts, g_rgb_ref[:], g_sig_ref[:], W,
+                          dW_refs, dB_refs)
     dpe_ref[:] = dpe
     dde_ref[:] = dde
 

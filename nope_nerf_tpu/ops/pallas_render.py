@@ -1,0 +1,443 @@
+"""Fully-fused Pallas ray-render kernel: rays -> encode -> MLP -> heads -> composite.
+
+Why: with the point-level kernel (pallas_mlp.py), every train step still pays for
+XLA-side glue around it — frequency encodings, bf16 casts, (M,128) f32 head pads,
+and all (N,S,3)/(M,3) intermediates, which TPU lane-pads 3 -> 128 (a 42x physical
+blow-up: pts/dirs at 1024x128x3 f32 occupy ~67 MB HBM each). Profiling the full
+train step (BASELINE.md workload) showed ~5.4 ms of such glue against ~3.9 ms of
+actual MLP kernel time.
+
+Design — one program per ray tile (R rays x S samples, T = R*S points,
+t = r*S + s):
+- inputs are PER-RAY: a packed (N,128) f32 ray table [origin | ray_vec | mlp_dir]
+  and the (N,S) z samples — both naturally lane-dense; per-point (M,3) arrays
+  never exist anywhere;
+- the frequency-encoding arguments are rebuilt in VMEM without matmuls:
+  oF/vF/dF (R,64/64/32) come from lane-masked selects of the ray table
+  (the freq tables are powers of two by lane — see _enc_rows), and the per-point
+  arguments A = oF + z*vF are formed by a 3-D broadcast
+  (R,1,64)+(R,S,1)*(R,1,64) -> (R,S,64) -> collapse to (T,64), which Mosaic
+  lowers as layout-preserving moves. Per-ray<->per-point traffic never touches
+  the MXU (an earlier mask-matmul variant spent ~0.6 ms/step in multi-pass f32
+  MXU dots);
+- sin/cos/select -> bf16 -> the shared 9-layer MLP chain (pallas_mlp._fwd_chain);
+- heads (softplus/relu occupancy, sigmoid rgb) and alpha compositing run in
+  (R,S) layout: the exclusive cumulative product of (1 - a + eps) is computed on
+  the MXU as exp(logs @ strict-lower-triangular (S,S) mask) — within ~1e-6 of
+  jnp.cumprod (float reassociation only);
+- backward is a full in-kernel recompute (flash-style), chaining composite ->
+  heads -> MLP -> encoding, accumulating dW/dB across the sequential grid and
+  emitting per-ray cotangents d[o|v|dir] (N,128) and dz (N,S).
+
+Reference behavior covered (model/rendering.py:36-198, nope_nerf technique):
+stratified/NDC affine sampling (z and the ray table are built by the caller),
+occ_activation softplus/relu, dist_alpha on/off with forced last-sample hit,
+epsilon compositing, rgb/dist/weights/alpha outputs. White background and the
+eval-time dist->depth renormalization consume the outputs outside (cheap (N,·)
+math). Paths the kernel does not cover (n_importance merge pass with S not a
+lane multiple) fall back to ops/render.py's unfused path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.nerf import NerfConfig
+from .pallas_mlp import (
+    DE_DIM,
+    PE_DIM,
+    _bf16,
+    _bwd_chain,
+    _fwd_chain,
+    _rep_spec,
+    _unpack_grads,
+    pack_weights,
+)
+
+EPSILON = 1e-6          # compositing epsilon, reference model/rendering.py:9
+RAY_DIM = 128           # packed ray-table lane width
+RAYS_FWD = 8            # rays per forward tile  (8 x 128 samples = 1024 points)
+RAYS_BWD = 8            # rays per backward tile (block sublane dims must be x8)
+
+
+@functools.lru_cache(maxsize=4)
+def _enc_rows(levels: int, dim: int):
+    """Lane rows describing the dense-lane frequency encoding (pallas_mlp
+    .encode_lanes layout: [x,y,z | sin block | cos block | pad]):
+      scale (1,dim): 2^i per lane (1 for the identity lanes, 0 for pad)
+      cm[c] (1,dim): 1 where the lane reads coordinate c
+    so  enc_args[:, k] = sum_c cm[c][k] * coord_c * scale[k]."""
+    scale = np.zeros((1, dim), np.float32)
+    cms = [np.zeros((1, dim), np.float32) for _ in range(3)]
+    for c in range(3):
+        scale[0, c] = 1.0
+        cms[c][0, c] = 1.0
+    for i in range(levels):
+        for c in range(3):
+            for blk in range(2):                  # sin block, cos block
+                k = 3 + blk * 3 * levels + 3 * i + c
+                scale[0, k] = 2.0 ** i
+                cms[c][0, k] = 1.0
+    return scale, cms[0], cms[1], cms[2]
+
+
+@functools.lru_cache(maxsize=8)
+def _tri_masks_np(S: int):
+    """ltS (S,S): x @ ltS = exclusive prefix sum; ltT = its transpose
+    (exclusive suffix sum). Kernel inputs (grid-invariant, VMEM-resident)."""
+    j = np.arange(S)
+    ltS = (j[:, None] < j[None, :]).astype(np.float32)
+    return ltS, ltS.T.copy()
+
+
+N_AUX = 10  # 4 pe rows + 4 de rows + ltS + ltT
+
+
+def _aux_inputs(S: int):
+    pe = _enc_rows(10, PE_DIM)
+    de = _enc_rows(4, DE_DIM)
+    tri = _tri_masks_np(S)
+    return tuple(jnp.asarray(a) for a in pe + de + tri)
+
+
+def _lane_select(A: jax.Array, levels: int, mode: str) -> jax.Array:
+    """Apply the dense-lane encoding selector on arguments A ((1,dim)-row masks
+    broadcast over the tile)."""
+    dim = A.shape[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, dim), 1)
+    is_id = lane < 3
+    is_sin = (lane >= 3) & (lane < 3 + 3 * levels)
+    is_pad = lane >= 3 + 6 * levels
+    if mode == "enc":
+        out = jnp.where(is_id, A, jnp.where(is_sin, jnp.sin(A), jnp.cos(A)))
+        return jnp.where(is_pad, 0.0, out)
+    # derivative of the encoding wrt A
+    out = jnp.where(is_id, 1.0, jnp.where(is_sin, jnp.cos(A), -jnp.sin(A)))
+    return jnp.where(is_pad, 0.0, out)
+
+
+def _fdot(a, b):
+    return jax.lax.dot(a, b, preferred_element_type=jnp.float32)
+
+
+def _ray_rows(rays, col0: int, rows):
+    """(R,dim) encoding-arg table for the 3 ray-table columns starting at col0:
+    out[r,k] = rays[r, col0 + c(k)] * 2^i(k). Pure lane selects + broadcasts."""
+    scale, cm0, cm1, cm2 = rows
+    acc = cm0 * rays[:, col0:col0 + 1]
+    acc = acc + cm1 * rays[:, col0 + 1:col0 + 2]
+    acc = acc + cm2 * rays[:, col0 + 2:col0 + 3]
+    return acc * scale
+
+
+def _alpha_forward(sig_raw, z_rs, R: int, S: int, cfg: NerfConfig,
+                   dist_alpha: bool):
+    """raw density column + z -> (alpha, occ, raw, deltas), all (R,S).
+
+    Two independent flags, matching the unfused pairing: cfg.dist_alpha controls
+    whether the MLP head emits occupancy 1-exp(-act) or the raw activation
+    (models/nerf._occupancy); `dist_alpha` (the renderer's flag) controls the
+    delta-scaled opacity + forced last-sample hit (rendering.py:116-122).
+    """
+    raw_rs = sig_raw[:, :1].reshape(R, S, 1)[:, :, 0]
+    if cfg.occ_activation == "softplus":
+        sigma = jax.nn.softplus(raw_rs)
+    else:
+        sigma = jnp.maximum(raw_rs, 0.0)
+    occ = sigma if cfg.dist_alpha else 1.0 - jnp.exp(-sigma)
+    if dist_alpha:
+        lane = jax.lax.broadcasted_iota(jnp.int32, (R, S), 1)
+        z_next = pltpu.roll(z_rs, S - 1, 1)   # out[s] = z[s+1 mod S]
+        deltas = jnp.where(lane == S - 1, 1e10, z_next - z_rs)
+        alpha = 1.0 - jnp.exp(-occ * deltas)
+        alpha = jnp.where(lane == S - 1, 1.0, alpha)
+        return alpha, occ, raw_rs, deltas
+    return occ, occ, raw_rs, None
+
+
+def _composite_forward(alpha, z_rs, ltS):
+    """alpha (R,S) -> (trans, weights, dist): the reference compositing
+    (rendering.py:124-126), cumprod as exp(MXU prefix-sum of logs)."""
+    logs = jnp.log(1.0 - alpha + EPSILON)
+    trans = jnp.exp(_fdot(logs, ltS))
+    weights = alpha * trans
+    dist = jnp.sum(weights * z_rs, axis=1, keepdims=True)
+    return trans, weights, dist
+
+
+def _encode_tile(rays, z_rs, R: int, S: int, pe_rows, de_rows):
+    """Per-tile encoding args A_pe (T,64) and the per-ray dir args dF (R,32),
+    plus per-ray vF (R,64) — all via broadcasts; no matmuls, no per-point (·,3)
+    arrays. The dir encoding stays PER-RAY (constant along a ray): its trig and
+    select run on (R,32) and only the finished bf16 values are broadcast —
+    measured ~0.5 ms/step cheaper than broadcasting the args."""
+    T = R * S
+    oF = _ray_rows(rays, 0, pe_rows)      # (R,64)
+    vF = _ray_rows(rays, 3, pe_rows)      # (R,64)
+    dF = _ray_rows(rays, 6, de_rows)      # (R,32)
+    A_pe = (oF[:, None, :] + z_rs[:, :, None] * vF[:, None, :]).reshape(T, PE_DIM)
+    return A_pe, dF, vF
+
+
+def _de_broadcast(x_r, R: int, S: int):
+    """(R,k) f32 -> (T,k) bf16 per-ray broadcast (f32 first: Mosaic cannot
+    shape-cast bf16 across the middle dim)."""
+    k = x_r.shape[-1]
+    return _bf16(jnp.broadcast_to(x_r[:, None, :], (R, S, k)).reshape(R * S, k))
+
+
+def _render_fwd_kernel(cfg: NerfConfig, dist_alpha: bool, R: int, S: int,
+                       rays_ref, z_ref, *refs):
+    aux = [r[:] for r in refs[:N_AUX]]
+    pe_rows, de_rows = tuple(aux[0:4]), tuple(aux[4:8])
+    ltS = aux[8]
+    W = tuple(w[:] for w in refs[N_AUX:N_AUX + 14])
+    B = tuple(b[:] for b in refs[N_AUX + 14:N_AUX + 26])
+    perray_ref, w_ref, a_ref = (refs[N_AUX + 26], refs[N_AUX + 27],
+                                refs[N_AUX + 28])
+
+    rays = rays_ref[:]
+    z_rs = z_ref[:]
+
+    A_pe, dF, _ = _encode_tile(rays, z_rs, R, S, pe_rows, de_rows)
+    pe = _bf16(_lane_select(A_pe, 10, "enc"))
+    de = _de_broadcast(_lane_select(dF, 4, "enc"), R, S)
+
+    rgb_raw, sig_raw, _ = _fwd_chain(pe, de, W, B)
+
+    alpha, _, _, _ = _alpha_forward(sig_raw, z_rs, R, S, cfg, dist_alpha)
+    _, weights, dist = _composite_forward(alpha, z_rs, ltS)
+
+    rgb3 = jax.nn.sigmoid(rgb_raw).reshape(R, S, RAY_DIM)  # cols 0-2 live
+    ray_acc = jnp.sum(weights[:, :, None] * rgb3, axis=1)  # (R,128)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R, RAY_DIM), 1)
+    perray_ref[:] = jnp.where(lane < 3, ray_acc,
+                              jnp.where(lane == 3, dist, 0.0))
+    w_ref[:] = weights
+    a_ref[:] = alpha
+
+
+def _render_bwd_kernel(cfg: NerfConfig, dist_alpha: bool, R: int, S: int,
+                       rays_ref, z_ref, *refs):
+    aux = [r[:] for r in refs[:N_AUX]]
+    pe_rows, de_rows = tuple(aux[0:4]), tuple(aux[4:8])
+    ltS, ltT = aux[8], aux[9]
+    W = tuple(w[:] for w in refs[N_AUX:N_AUX + 14])
+    B = tuple(b[:] for b in refs[N_AUX + 14:N_AUX + 26])
+    g_perray_ref = refs[N_AUX + 26]
+    g_w_ref, g_a_ref = refs[N_AUX + 27], refs[N_AUX + 28]
+    dW_refs = refs[N_AUX + 29:N_AUX + 43]
+    dB_refs = refs[N_AUX + 43:N_AUX + 55]
+    drays_ref, gz_ref = refs[N_AUX + 55], refs[N_AUX + 56]
+
+    T = R * S
+    rays = rays_ref[:]
+    z_rs = z_ref[:]
+
+    # ---- forward recompute --------------------------------------------------
+    A_pe, dF, vF = _encode_tile(rays, z_rs, R, S, pe_rows, de_rows)
+    pe = _bf16(_lane_select(A_pe, 10, "enc"))
+    de = _de_broadcast(_lane_select(dF, 4, "enc"), R, S)
+    rgb_raw, sig_raw, acts = _fwd_chain(pe, de, W, B)
+    alpha, occ, raw_rs, deltas = _alpha_forward(sig_raw, z_rs, R, S, cfg,
+                                                dist_alpha)
+    trans, weights, _ = _composite_forward(alpha, z_rs, ltS)
+    rgb3 = jax.nn.sigmoid(rgb_raw).reshape(R, S, RAY_DIM)
+    w3 = weights[:, :, None]                                  # (R,S,1)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        for r in dW_refs:
+            r[:] = jnp.zeros_like(r)
+        for r in dB_refs:
+            r[:] = jnp.zeros_like(r)
+
+    # ---- composite backward -------------------------------------------------
+    g_perray = g_perray_ref[:]                       # (R,128): rgb 0-2, dist 3
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (R, RAY_DIM), 1)
+    g_rgb_ray = jnp.where(lane128 < 3, g_perray, 0.0)         # (R,128)
+    g_dist = g_perray[:, 3:4]                                 # (R,1)
+
+    g_rgb_pts3 = jnp.broadcast_to(g_rgb_ray[:, None, :], (R, S, RAY_DIM))
+    # dL/dw from the rgb sum (g_rgb_ray is zero past lane 2) + dist + incoming
+    g_w = (jnp.sum(g_rgb_pts3 * rgb3, axis=2)
+           + g_dist * z_rs + g_w_ref[:])
+
+    # w = a * exp(c), c = logs @ ltS, logs = log(1 - a + eps)
+    g_c = g_w * weights                              # g_trans * trans
+    g_logs = _fdot(g_c, ltT)                         # suffix sums
+    g_alpha = g_w * trans - g_logs / (1.0 - alpha + EPSILON) + g_a_ref[:]
+
+    g_z = g_dist * weights                           # dist = sum w*z
+    laneS = jax.lax.broadcasted_iota(jnp.int32, (R, S), 1)
+    if dist_alpha:
+        # alpha = 1 - exp(-occ*deltas), last lane forced to 1
+        E = jnp.exp(-occ * deltas)
+        g_apre = jnp.where(laneS == S - 1, 0.0, g_alpha)
+        g_occ = g_apre * deltas * E
+        g_delta = jnp.where(laneS == S - 1, 0.0, g_apre * occ * E)
+        # deltas[s] = z[s+1] - z[s]
+        g_z = g_z - g_delta
+        shifted = pltpu.roll(g_delta, 1, 1)
+        g_z = g_z + jnp.where(laneS == 0, 0.0, shifted)
+    else:
+        g_occ = g_alpha
+    if cfg.dist_alpha:
+        g_sigma = g_occ                              # head emits raw activation
+    else:
+        g_sigma = g_occ * (1.0 - occ)                # occ = 1-exp(-sigma)
+    if cfg.occ_activation == "softplus":
+        g_raw_rs = g_sigma * jax.nn.sigmoid(raw_rs)
+    else:
+        g_raw_rs = g_sigma * (raw_rs > 0.0)
+
+    # ---- heads -> MLP backward ----------------------------------------------
+    lane0 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, RAY_DIM), 2) == 0
+    g_sig_raw = jnp.where(lane0, g_raw_rs[:, :, None], 0.0).reshape(T, RAY_DIM)
+    g_rgb_flat = (w3 * g_rgb_pts3).reshape(T, RAY_DIM)
+    rgb_flat = rgb3.reshape(T, RAY_DIM)
+    g_rgb_raw = g_rgb_flat * rgb_flat * (1.0 - rgb_flat)   # sigmoid'
+
+    dpe, dde = _bwd_chain(pe, de, acts, g_rgb_raw, g_sig_raw, W,
+                          dW_refs, dB_refs)
+
+    # ---- encoding backward ---------------------------------------------------
+    dA3 = (dpe * _lane_select(A_pe, 10, "deriv")).reshape(R, S, PE_DIM)
+    # dir-encoding deriv is per-ray: reduce dde over samples FIRST, then mask
+    dde_r = jnp.sum(dde.reshape(R, S, DE_DIM), axis=1)      # (R,32)
+    d_dF = dde_r * _lane_select(dF, 4, "deriv")             # (R,32)
+    g_z = g_z + jnp.sum(dA3 * vF[:, None, :], axis=2)       # (R,S)
+    d_oF = jnp.sum(dA3, axis=1)                             # (R,64)
+    d_vF = jnp.sum(z_rs[:, :, None] * dA3, axis=1)          # (R,64)
+
+    # d(ray table): invert _ray_rows — masked lane reductions per coordinate.
+    pe_scale, pe_c0, pe_c1, pe_c2 = pe_rows
+    de_scale, de_c0, de_c1, de_c2 = de_rows
+    cols = []
+    for d_, scale, cms in ((d_oF, pe_scale, (pe_c0, pe_c1, pe_c2)),
+                           (d_vF, pe_scale, (pe_c0, pe_c1, pe_c2)),
+                           (d_dF, de_scale, (de_c0, de_c1, de_c2))):
+        ds = d_ * scale
+        for cm in cms:
+            cols.append(jnp.sum(ds * cm, axis=1, keepdims=True))  # (R,1)
+    drays = jnp.zeros((R, RAY_DIM), jnp.float32)
+    for c, col in enumerate(cols):
+        drays = jnp.where(lane128 == c, col, drays)
+    drays_ref[:] = drays
+    gz_ref[:] = g_z
+
+
+def _ray_tile_spec(cols, rows):
+    return pl.BlockSpec((rows, cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+
+def _raw_render_fwd(rays, z, weights, biases, cfg: NerfConfig,
+                    dist_alpha: bool):
+    n, S = z.shape
+    R = RAYS_FWD
+    grid = (n // R,)
+    aux = _aux_inputs(S)
+    w_specs = [_rep_spec(w.shape) for w in weights]
+    b_specs = [_rep_spec(b.shape) for b in biases]
+    per_ray, w_out, a_out = pl.pallas_call(
+        functools.partial(_render_fwd_kernel, cfg, dist_alpha, R, S),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        grid=grid,
+        in_specs=([_ray_tile_spec(RAY_DIM, R), _ray_tile_spec(S, R)]
+                  + [_rep_spec(a.shape) for a in aux] + w_specs + b_specs),
+        out_specs=[_ray_tile_spec(RAY_DIM, R), _ray_tile_spec(S, R),
+                   _ray_tile_spec(S, R)],
+        out_shape=[jax.ShapeDtypeStruct((n, RAY_DIM), jnp.float32),
+                   jax.ShapeDtypeStruct((n, S), jnp.float32),
+                   jax.ShapeDtypeStruct((n, S), jnp.float32)],
+    )(rays, z, *aux, *weights, *biases)
+    return per_ray, w_out, a_out
+
+
+def _raw_render_bwd(rays, z, weights, biases, g_perray, g_w, g_a,
+                    cfg: NerfConfig, dist_alpha: bool):
+    n, S = z.shape
+    R = RAYS_BWD
+    grid = (n // R,)
+    aux = _aux_inputs(S)
+    w_specs = [_rep_spec(w.shape) for w in weights]
+    b_specs = [_rep_spec(b.shape) for b in biases]
+    out_shapes = ([jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in weights]
+                  + [jax.ShapeDtypeStruct(b.shape, jnp.float32) for b in biases]
+                  + [jax.ShapeDtypeStruct((n, RAY_DIM), jnp.float32),
+                     jax.ShapeDtypeStruct((n, S), jnp.float32)])
+    out_specs = (w_specs + b_specs
+                 + [_ray_tile_spec(RAY_DIM, R), _ray_tile_spec(S, R)])
+    outs = pl.pallas_call(
+        functools.partial(_render_bwd_kernel, cfg, dist_alpha, R, S),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        grid=grid,
+        in_specs=([_ray_tile_spec(RAY_DIM, R), _ray_tile_spec(S, R)]
+                  + [_rep_spec(a.shape) for a in aux] + w_specs + b_specs
+                  + [_ray_tile_spec(RAY_DIM, R), _ray_tile_spec(S, R),
+                     _ray_tile_spec(S, R)]),
+        out_specs=out_specs,
+        out_shape=out_shapes,
+    )(rays, z, *aux, *weights, *biases, g_perray, g_w, g_a)
+    dWs = outs[:14]
+    dBs = outs[14:26]
+    drays, gz = outs[26], outs[27]
+    return dWs, dBs, drays, gz
+
+
+def pack_rays(origin: jax.Array, ray_vec: jax.Array,
+              mlp_dir: jax.Array) -> jax.Array:
+    """[origin | ray_vec | mlp_dir] -> (N, 128) f32 ray table. origin may be (3,)
+    (pinhole center, broadcast) or (N, 3) (NDC rays)."""
+    n = ray_vec.shape[0]
+    origin = jnp.broadcast_to(origin.reshape(-1, 3), (n, 3))
+    packed = jnp.concatenate([origin, ray_vec, mlp_dir], axis=-1)
+    return jnp.pad(packed.astype(jnp.float32), ((0, 0), (0, RAY_DIM - 9)))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def render_rays_fused(params, rays_packed, z, cfg: NerfConfig,
+                      dist_alpha: bool = False):
+    """(params, ray table (N,128), z (N,S)) -> (rgb (N,3), dist (N,),
+    weights (N,S), alpha (N,S)). N must be a multiple of RAYS_FWD/RAYS_BWD —
+    callers pad. Matches ops/render.py's unfused sample->query->composite to
+    ~1e-6. `dist_alpha` is the RENDERER's flag (delta-scaled opacity); the MLP
+    head flag is cfg.dist_alpha."""
+    per_ray, w_out, a_out = _raw_render_fwd(
+        rays_packed, z, *pack_weights(params, cfg), cfg=cfg,
+        dist_alpha=dist_alpha)
+    return per_ray[:, :3], per_ray[:, 3], w_out, a_out
+
+
+def _render_fused_fwd(params, rays_packed, z, cfg, dist_alpha):
+    out = render_rays_fused(params, rays_packed, z, cfg, dist_alpha)
+    return out, (params, rays_packed, z)
+
+
+def _render_fused_bwd(cfg, dist_alpha, res, g):
+    params, rays_packed, z = res
+    g_rgb, g_dist, g_w, g_a = g
+    n = z.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (n, RAY_DIM), 1)
+    g_perray = jnp.where(
+        lane < 3, jnp.pad(g_rgb.astype(jnp.float32), ((0, 0), (0, RAY_DIM - 3))),
+        jnp.where(lane == 3, g_dist.astype(jnp.float32)[:, None], 0.0))
+    weights, biases = pack_weights(params, cfg)
+    dWs, dBs, drays, gz = _raw_render_bwd(
+        rays_packed, z, weights, biases, g_perray,
+        g_w.astype(jnp.float32), g_a.astype(jnp.float32), cfg, dist_alpha)
+    dparams = _unpack_grads(dWs, dBs, params, cfg)
+    return dparams, drays.astype(rays_packed.dtype), gz.astype(z.dtype)
+
+
+render_rays_fused.defvjp(_render_fused_fwd, _render_fused_bwd)

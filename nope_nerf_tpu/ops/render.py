@@ -180,66 +180,90 @@ def render_nope_nerf(nerf_params: Dict[str, jax.Array],
     else:
         knoise = knormal = None
     fg_steps = steps - rcfg.outside_steps
+    ndc_o = ndc_d = None
     if rcfg.sample_option == "ndc":
         fxfy = jnp.stack([camera_mat[0, 0], camera_mat[1, 1]])
         ndc_o, ndc_d = get_ndc_rays_fxfy(fxfy, 1.0, origin[None, :], ray_vec)
         z_val = jnp.broadcast_to(jnp.linspace(0.0, 1.0, fg_steps, dtype=dtype),
                                  (n_rays, fg_steps))
-        pts = ndc_o[:, None, :] + ndc_d[:, None, :] * z_val[..., None]
     else:
         z_val = sample_uniform(knoise, n_rays, fg_steps, rcfg.depth_range,
                                add_noise, dtype)
-        pts = origin[None, None, :] + ray_vec[:, None, :] * z_val[..., None]
 
-    def _query_mlp(pts, dirs):
-        if ncfg.use_pallas:
-            from .pallas_mlp import nerf_apply_fused
-            return nerf_apply_fused(nerf_params, pts.reshape(-1, 3),
-                                    dirs.reshape(-1, 3), ncfg)
-        return nerf_apply(nerf_params, pts.reshape(-1, 3),
-                          dirs.reshape(-1, 3), ncfg)
-
-    def _dirs_for(pts):
-        # Direction the MLP sees is the *negated* ray (rendering.py:179,196).
+    # Fully-fused path: rays + z go straight into one Pallas program (encode ->
+    # MLP -> heads -> composite); per-point (M,3) arrays never materialize. See
+    # ops/pallas_render.py for when the unfused path below is required instead.
+    use_fused = (ncfg.use_pallas and rcfg.n_importance == 0
+                 and rcfg.outside_steps == 0
+                 and fg_steps % 128 == 0 and n_rays % 8 == 0)
+    if use_fused:
+        from .pallas_render import pack_rays, render_rays_fused
         if rcfg.use_ray_dir:
-            return jnp.broadcast_to(-ray_vec[:, None, :], pts.shape)
-        return jnp.ones_like(pts)
+            mlp_dir = -ray_vec
+        else:
+            mlp_dir = jnp.ones_like(ray_vec)
+        if rcfg.sample_option == "ndc":
+            ray_table = pack_rays(ndc_o, ndc_d, mlp_dir)
+        else:
+            ray_table = pack_rays(origin, ray_vec, mlp_dir)
+        rgb_values, dist_pred, weights, alpha = render_rays_fused(
+            nerf_params, ray_table, z_val, ncfg, rcfg.dist_alpha)
+    else:
+        if rcfg.sample_option == "ndc":
+            pts = ndc_o[:, None, :] + ndc_d[:, None, :] * z_val[..., None]
+        else:
+            pts = origin[None, None, :] + ray_vec[:, None, :] * z_val[..., None]
 
-    dirs = _dirs_for(pts)
+        def _query_mlp(pts, dirs):
+            if ncfg.use_pallas:
+                from .pallas_mlp import nerf_apply_fused
+                return nerf_apply_fused(nerf_params, pts.reshape(-1, 3),
+                                        dirs.reshape(-1, 3), ncfg)
+            return nerf_apply(nerf_params, pts.reshape(-1, 3),
+                              dirs.reshape(-1, 3), ncfg)
 
-    if rcfg.n_importance > 0 and rcfg.sample_option != "ndc":
-        # Hierarchical pass (no reference counterpart): coarse weights ->
-        # inverse-CDF resample -> merged, sorted sample set re-queried.
-        rgb_c, density_c = _query_mlp(pts, dirs)
-        alpha_c = density_c.reshape(n_rays, fg_steps)
-        if rcfg.dist_alpha:
-            deltas_c = jnp.concatenate(
-                [z_val[:, 1:] - z_val[:, :-1],
-                 jnp.full_like(z_val[:, :1], 1e10)], axis=-1)
-            alpha_c = 1.0 - jnp.exp(-alpha_c * deltas_c)
-        _, _, w_coarse = composite(rgb_c.reshape(n_rays, fg_steps, 3), alpha_c,
-                                   z_val)
-        kfine = jax.random.fold_in(key, 1) if key is not None else None
-        z_fine = sample_pdf(kfine, z_val, jax.lax.stop_gradient(w_coarse),
-                            rcfg.n_importance, deterministic=key is None)
-        z_val = jnp.sort(jnp.concatenate([z_val, z_fine], axis=-1), axis=-1)
-        steps = fg_steps + rcfg.n_importance
-        pts = origin[None, None, :] + ray_vec[:, None, :] * z_val[..., None]
+        def _dirs_for(pts):
+            # Direction the MLP sees is the *negated* ray (rendering.py:179,196).
+            if rcfg.use_ray_dir:
+                return jnp.broadcast_to(-ray_vec[:, None, :], pts.shape)
+            return jnp.ones_like(pts)
+
         dirs = _dirs_for(pts)
 
-    rgb, density = _query_mlp(pts, dirs)
-    rgb = rgb.reshape(n_rays, steps, 3)
-    alpha = density.reshape(n_rays, steps)
+        if rcfg.n_importance > 0 and rcfg.sample_option != "ndc":
+            # Hierarchical pass (no reference counterpart): coarse weights ->
+            # inverse-CDF resample -> merged, sorted sample set re-queried.
+            rgb_c, density_c = _query_mlp(pts, dirs)
+            alpha_c = density_c.reshape(n_rays, fg_steps)
+            if rcfg.dist_alpha:
+                deltas_c = jnp.concatenate(
+                    [z_val[:, 1:] - z_val[:, :-1],
+                     jnp.full_like(z_val[:, :1], 1e10)], axis=-1)
+                alpha_c = 1.0 - jnp.exp(-alpha_c * deltas_c)
+            _, _, w_coarse = composite(rgb_c.reshape(n_rays, fg_steps, 3),
+                                       alpha_c, z_val)
+            kfine = jax.random.fold_in(key, 1) if key is not None else None
+            z_fine = sample_pdf(kfine, z_val, jax.lax.stop_gradient(w_coarse),
+                                rcfg.n_importance, deterministic=key is None)
+            z_val = jnp.sort(jnp.concatenate([z_val, z_fine], axis=-1), axis=-1)
+            steps = fg_steps + rcfg.n_importance
+            pts = origin[None, None, :] + ray_vec[:, None, :] * z_val[..., None]
+            dirs = _dirs_for(pts)
 
-    if rcfg.dist_alpha:
-        # delta-scaled opacity with forced last-sample hit (rendering.py:116-122)
-        deltas = z_val[:, 1:] - z_val[:, :-1]
-        deltas = jnp.concatenate(
-            [deltas, jnp.full_like(deltas[:, :1], 1e10)], axis=-1)
-        alpha = 1.0 - jnp.exp(-alpha * deltas)
-        alpha = alpha.at[:, -1].set(1.0)
+        rgb, density = _query_mlp(pts, dirs)
+        rgb = rgb.reshape(n_rays, steps, 3)
+        alpha = density.reshape(n_rays, steps)
 
-    rgb_values, dist_pred, weights = composite(rgb, alpha, z_val)
+        if rcfg.dist_alpha:
+            # delta-scaled opacity with forced last-sample hit
+            # (rendering.py:116-122)
+            deltas = z_val[:, 1:] - z_val[:, :-1]
+            deltas = jnp.concatenate(
+                [deltas, jnp.full_like(deltas[:, :1], 1e10)], axis=-1)
+            alpha = 1.0 - jnp.exp(-alpha * deltas)
+            alpha = alpha.at[:, -1].set(1.0)
+
+        rgb_values, dist_pred, weights = composite(rgb, alpha, z_val)
 
     normal_diff = None
     if rcfg.normal_loss and not eval_:
