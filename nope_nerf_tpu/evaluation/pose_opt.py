@@ -62,7 +62,9 @@ def _pose_opt_step(pose_params, opt_state, nerf_params, focal_params, img, idx,
 
     def loss_fn(pose_params, key):
         key, kray = jax.random.split(key)
-        ray_idx = jax.random.permutation(kray, h * w)[:n_points]
+        # TPU-native without-replacement draw (see training.trainer._draw_rays)
+        from ..training.trainer import _draw_rays
+        ray_idx = _draw_rays(kray, h * w, n_points)
         _, pixels_all = pixel_grid((h, w), dtype=img.dtype)
         pixels = pixels_all[ray_idx]
         rgb_gt = img.reshape(-1, 3)[ray_idx]
