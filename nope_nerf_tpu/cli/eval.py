@@ -32,6 +32,9 @@ def evaluate(cfg: dict, synthetic: bool = False):
     extraction_dir = os.path.join(out_dir, cfg["extract_images"]["extraction_dir"])
     os.makedirs(extraction_dir, exist_ok=True)
 
+    from ..evaluation.lpips import set_lpips_weights
+    set_lpips_weights(cfg["extract_images"].get("lpips_weights"))
+
     if synthetic:
         full = dict(make_synthetic_scene(n_frames=8, h=120, w=160))
         ids = np.arange(8)

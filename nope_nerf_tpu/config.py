@@ -176,6 +176,9 @@ DEFAULTS: Dict[str, Any] = {
         "model_file_focal": "model_focal.ckpt",
         "eval_depth": False,
         "bspline_degree": 100,
+        # Path to LPIPS weights (.npz from evaluation.lpips.convert_torch_lpips,
+        # or a merged torch state dict). None -> lpips reported as None.
+        "lpips_weights": None,
     },
     "eval_pose": {
         "n_points": 1024,

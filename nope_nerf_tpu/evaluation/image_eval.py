@@ -4,56 +4,21 @@ Capability parity with `model/eval_images.py:17-217` (Eval_Images): full-res chu
 render, PSNR/SSIM/LPIPS, metric depth rescale (sc ratio), [min,max]-validity masks and
 the tp/fn/fp/tn confusion matrix, and the 7 aggregate depth metrics.
 
-LPIPS: the reference uses the torch `lpips` package (VGG). That package is absent in
-this image; when a torchvision VGG16 is importable we compute an LPIPS-style deep
-perceptual distance through its feature stack, otherwise lpips is reported as None —
-gated exactly like SURVEY.md §7.8 suggests.
+LPIPS: the reference uses the torch `lpips` package (VGG). Its architecture is
+re-implemented in pure JAX in evaluation/lpips.py; pretrained weights are loaded
+from the `extract_images.lpips_weights` config path (no network egress here), and
+without one lpips is reported as None.
 """
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, Optional, Tuple
 
 import numpy as np
 
 from ..ops.ssim import ssim as ssim_fn
 from ..utils.metrics import compute_errors, mse2psnr
-
-
-@functools.lru_cache(maxsize=1)
-def _lpips_fn():
-    """Best-effort LPIPS: torch-hub VGG16 features with unit linear weights.
-    Returns None when torchvision/weights are unavailable (offline image)."""
-    try:
-        import torch
-        import torchvision.models as tvm
-        vgg = tvm.vgg16(weights=tvm.VGG16_Weights.IMAGENET1K_V1).features.eval()
-    except Exception:
-        return None
-
-    import torch
-
-    slices = [(0, 4), (4, 9), (9, 16), (16, 23), (23, 30)]
-    mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
-    std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
-
-    def fn(a: np.ndarray, b: np.ndarray) -> float:
-        with torch.no_grad():
-            ta = (torch.from_numpy(a).permute(2, 0, 1)[None] - mean) / std
-            tb = (torch.from_numpy(b).permute(2, 0, 1)[None] - mean) / std
-            dist = 0.0
-            xa, xb = ta, tb
-            for lo, hi in slices:
-                for i in range(lo, hi):
-                    xa = vgg[i](xa)
-                    xb = vgg[i](xb)
-                na = xa / (xa.norm(dim=1, keepdim=True) + 1e-10)
-                nb = xb / (xb.norm(dim=1, keepdim=True) + 1e-10)
-                dist += ((na - nb) ** 2).mean().item()
-            return dist
-
-    return fn
+from .lpips import get_lpips_fn as _lpips_fn
 
 
 def depth_confusion(depth_pred: np.ndarray, depth_gt: np.ndarray,
