@@ -33,29 +33,35 @@ def main() -> None:
         "training": {"n_training_points": n_rays},
         "pose": {"learn_pose": True, "init_pose": True},
     })
-    scene = SceneData.from_dict(dict(make_synthetic_scene(n_frames=4, h=h, w=w)))
+    scene = SceneData.from_dict(
+        dict(make_synthetic_scene(n_frames=4, h=h, w=w))).to_device()
     mc = ModelConfigs.from_cfg(cfg, num_cams=scene.n_frames)
     state, optimizers = create_train_state(jax.random.key(0), mc,
                                            init_c2w=jnp.asarray(scene.c2ws_gt))
     trainer = Trainer(cfg, mc, optimizers)
 
-    rng = np.random.RandomState(0)
-    batches = [{k: jnp.asarray(v) for k, v in
-                batch_for_frame(scene, i, rng=rng).items()}
-               for i in range(scene.n_frames)]
+    # The production train path (cli/train with tpu.scan_steps, the default):
+    # one lax.scan dispatch per epoch of full train steps.
+    from nope_nerf_tpu.data import epoch_order
+    epoch_len = 25  # steps per dispatch; n_steps must be a multiple
+    order, refs = epoch_order(scene.n_frames, shuffle=True, seed=0)
+    order = np.resize(order, epoch_len)
+    refs = np.resize(refs, epoch_len)
 
     # warmup/compile
-    state, ld = trainer.step(state, batches[0], epoch=0, scheduling_start=10000)
-    float(ld["loss"])
+    state, lds = trainer.run_steps(state, scene, order, refs, epoch=0,
+                                   scheduling_start=10000)
+    float(lds["loss"][-1])
 
     n_steps = 100
     t0 = time.perf_counter()
-    for i in range(n_steps):
-        state, ld = trainer.step(state, batches[i % len(batches)], epoch=0,
-                                 scheduling_start=10000)
+    for _ in range(n_steps // epoch_len):
+        state, lds = trainer.run_steps(state, scene, order, refs, epoch=0,
+                                       scheduling_start=10000)
     jax.block_until_ready(state.params)
     dt = time.perf_counter() - t0
 
+    ld = {"loss": lds["loss"][-1]}
     rays_per_s = n_steps * n_rays / dt
     print(json.dumps({
         "metric": "rays/s/chip full train step (fwd+bwd, all losses)",

@@ -116,11 +116,88 @@ def train(cfg: dict, synthetic: bool = False, max_epochs: Optional[int] = None):
     eval_pose_every = t_cfg["eval_pose_every"]
     eval_img_every = t_cfg["eval_img_every"]
 
-    from ..data import frame_iterator, batch_for_frame
+    from ..data import batch_for_frame, epoch_order, frame_iterator
     from ..utils.profiling import StepTimer, profile_trace
     vis_batch = batch_for_frame(scene, 0, rng=np.random.RandomState(seed))
     timer = StepTimer(rays_per_step=t_cfg["n_training_points"])
     log_scale_shift = t_cfg["log_scale_shift_per_view"]
+    vis_reproj_every = t_cfg["vis_reprojection_every"]
+    # Scan-fused stepping: the whole epoch runs as one lax.scan dispatch
+    # (trainer.run_steps). Numerically identical to per-step dispatch (tested);
+    # per-it print/TB logs keep their exact per-step values from the stacked
+    # metrics, while side-effect hooks (vis/validate/ckpt/backup/reproj) whose
+    # boundary falls inside an epoch fire at that epoch's end.
+    scan_steps = bool(cfg["tpu"].get("scan_steps", True))
+
+    def run_it_hooks(itj: int, st, get_ld, frame_idx: int, ref_idx: int):
+        """Fire the per-iteration hooks for global step `itj`. get_ld() returns
+        this step's metrics as floats (lazy: only the print hook pays for it)."""
+        nonlocal t0b
+        if print_every > 0 and itj % print_every == 0:
+            ld = get_ld()
+            print(f"[Epoch {epoch_it:02d}] it={itj:03d}, loss={ld['loss']:.8f}, "
+                  f"time={time.time() - t0b:.4f} ({timer.summary()})")
+            t0b = time.time()
+            if writer:
+                for k, v in ld.items():
+                    writer.add_scalar(f"train/{k}", v, itj)
+                writer.add_scalar("perf/rays_per_s", timer.rays_per_s, itj)
+                if log_scale_shift:
+                    writer.add_scalar(f"train/scale_view{frame_idx:02d}",
+                                      ld["scale"], itj)
+                    writer.add_scalar(f"train/shift_view{frame_idx:02d}",
+                                      ld["shift"], itj)
+
+        if visualize_every > 0 and itj % visualize_every == 0:
+            out = trainer.render_frame(st, vis_batch,
+                                       tuple(t_cfg["vis_resolution"]))
+            vis_dir = os.path.join(render_path, f"{itj:04d}_vis")
+            os.makedirs(vis_dir, exist_ok=True)
+            import imageio
+            imageio.imwrite(os.path.join(vis_dir, "rgb.png"),
+                            (np.clip(out["rgb"], 0, 1) * 255).astype(np.uint8))
+            d = out["depth"]
+            imageio.imwrite(
+                os.path.join(vis_dir, "depth.png"),
+                np.clip(255.0 / max(d.max(), 1e-6) * (d - d.min()), 0,
+                        255).astype(np.uint8))
+
+        if validate_every > 0 and itj % validate_every == 0:
+            # render the held-out vis frame and log PSNR (reference
+            # Trainer.evaluate via validate_every, train.py:245-249)
+            from ..evaluation.image_eval import eval_image
+            h_v, w_v = np.asarray(vis_batch["img"]).shape[:2]
+            out_v = trainer.render_frame(st, vis_batch, (h_v, w_v))
+            r = eval_image(out_v["rgb"], np.asarray(vis_batch["img"]),
+                           with_lpips=False)
+            print(f"  val: PSNR {r['psnr']:.2f} SSIM {r['ssim']:.3f}")
+            if writer:
+                writer.add_scalar("val/psnr", r["psnr"], itj)
+                writer.add_scalar("val/ssim", r["ssim"], itj)
+
+        if (vis_reproj_every > 0 and itj % vis_reproj_every == 0
+                and mc.pose is not None
+                and (mc.loss.use_pc or mc.loss.use_rgb_s)):
+            import imageio
+            batch = batch_for_frame(scene, frame_idx, ref_idx=ref_idx)
+            a, b, _ = trainer.reprojection_pair(st, batch)
+            imageio.imwrite(
+                os.path.join(render_path, f"{itj}_{frame_idx:04d}_img1.png"),
+                (np.clip(a, 0, 1) * 255).astype(np.uint8))
+            imageio.imwrite(
+                os.path.join(render_path, f"{itj}_{frame_idx:04d}_img2.png"),
+                (np.clip(b, 0, 1) * 255).astype(np.uint8))
+
+        if checkpoint_every > 0 and itj % checkpoint_every == 0:
+            save_checkpoint(out_dir, t_cfg["load_dir"], st,
+                            {"epoch_it": epoch_it,
+                             "scheduling_start": scheduling_start,
+                             **auto.state_dict()})
+        if backup_every > 0 and itj % backup_every == 0:
+            save_checkpoint(out_dir, f"model_{itj}.ckpt", st,
+                            {"epoch_it": epoch_it,
+                             "scheduling_start": scheduling_start,
+                             **auto.state_dict()})
 
     t0b = time.time()
     psnr = 0.0
@@ -129,81 +206,41 @@ def train(cfg: dict, synthetic: bool = False, max_epochs: Optional[int] = None):
         if max_epochs is not None and epoch_it >= max_epochs:
             break
         l2_epoch = []
-        for batch in frame_iterator(scene, shuffle=cfg["dataloading"]["shuffle"],
-                                    random_ref=cfg["dataloading"]["random_ref"],
-                                    seed=seed + epoch_it):
-            it += 1
-            state, ld = trainer.step(state, batch, epoch_it, scheduling_start)
-            timer.tick()
-            # keep the scalar ON DEVICE: a float() here would synchronously round-
-            # trip the transport every step; the epoch mean reads back once below
-            l2_epoch.append(ld["l2_mean"])
+        if scan_steps:
+            order, refs = epoch_order(scene.n_frames,
+                                      shuffle=cfg["dataloading"]["shuffle"],
+                                      random_ref=cfg["dataloading"]["random_ref"],
+                                      seed=seed + epoch_it)
+            state, lds = trainer.run_steps(state, scene, order, refs, epoch_it,
+                                           scheduling_start)
+            timer.tick_many(len(order))
+            l2_epoch.append(lds["l2_mean"])
+            lds_np = None  # one bulk transfer, only if some hook needs it
+            for j, (fidx, ridx) in enumerate(zip(order, refs)):
+                it += 1
 
-            if print_every > 0 and it % print_every == 0:
-                loss = float(ld["loss"])
-                print(f"[Epoch {epoch_it:02d}] it={it:03d}, loss={loss:.8f}, "
-                      f"time={time.time() - t0b:.4f} ({timer.summary()})")
-                t0b = time.time()
-                if writer:
-                    for k, v in ld.items():
-                        writer.add_scalar(f"train/{k}", float(v), it)
-                    writer.add_scalar("perf/rays_per_s", timer.rays_per_s, it)
-                    if log_scale_shift:
-                        writer.add_scalar(f"train/scale_view{int(batch['idx']):02d}",
-                                          float(ld["scale"]), it)
-                        writer.add_scalar(f"train/shift_view{int(batch['idx']):02d}",
-                                          float(ld["shift"]), it)
+                def get_ld(j=j):
+                    nonlocal lds_np
+                    if lds_np is None:
+                        lds_np = {k: np.asarray(v) for k, v in lds.items()}
+                    return {k: float(v[j]) for k, v in lds_np.items()}
 
-            if visualize_every > 0 and it % visualize_every == 0:
-                out = trainer.render_frame(state, vis_batch,
-                                           tuple(t_cfg["vis_resolution"]))
-                vis_dir = os.path.join(render_path, f"{it:04d}_vis")
-                os.makedirs(vis_dir, exist_ok=True)
-                import imageio
-                imageio.imwrite(os.path.join(vis_dir, "rgb.png"),
-                                (np.clip(out["rgb"], 0, 1) * 255).astype(np.uint8))
-                d = out["depth"]
-                imageio.imwrite(
-                    os.path.join(vis_dir, "depth.png"),
-                    np.clip(255.0 / max(d.max(), 1e-6) * (d - d.min()), 0,
-                            255).astype(np.uint8))
-
-            if validate_every > 0 and it % validate_every == 0:
-                # render the held-out vis frame and log PSNR (reference
-                # Trainer.evaluate via validate_every, train.py:245-249)
-                from ..evaluation.image_eval import eval_image
-                h_v, w_v = np.asarray(vis_batch["img"]).shape[:2]
-                out_v = trainer.render_frame(state, vis_batch, (h_v, w_v))
-                r = eval_image(out_v["rgb"], np.asarray(vis_batch["img"]),
-                               with_lpips=False)
-                print(f"  val: PSNR {r['psnr']:.2f} SSIM {r['ssim']:.3f}")
-                if writer:
-                    writer.add_scalar("val/psnr", r["psnr"], it)
-                    writer.add_scalar("val/ssim", r["ssim"], it)
-
-            vis_reproj_every = t_cfg["vis_reprojection_every"]
-            if (vis_reproj_every > 0 and it % vis_reproj_every == 0
-                    and mc.pose is not None
-                    and (mc.loss.use_pc or mc.loss.use_rgb_s)):
-                import imageio
-                a, b, _ = trainer.reprojection_pair(state, batch)
-                imageio.imwrite(
-                    os.path.join(render_path, f"{it}_{int(batch['idx']):04d}_img1.png"),
-                    (np.clip(a, 0, 1) * 255).astype(np.uint8))
-                imageio.imwrite(
-                    os.path.join(render_path, f"{it}_{int(batch['idx']):04d}_img2.png"),
-                    (np.clip(b, 0, 1) * 255).astype(np.uint8))
-
-            if checkpoint_every > 0 and it % checkpoint_every == 0:
-                save_checkpoint(out_dir, t_cfg["load_dir"], state,
-                                {"epoch_it": epoch_it,
-                                 "scheduling_start": scheduling_start,
-                                 **auto.state_dict()})
-            if backup_every > 0 and it % backup_every == 0:
-                save_checkpoint(out_dir, f"model_{it}.ckpt", state,
-                                {"epoch_it": epoch_it,
-                                 "scheduling_start": scheduling_start,
-                                 **auto.state_dict()})
+                run_it_hooks(it, state, get_ld, int(fidx), int(ridx))
+        else:
+            for batch in frame_iterator(scene,
+                                        shuffle=cfg["dataloading"]["shuffle"],
+                                        random_ref=cfg["dataloading"]["random_ref"],
+                                        seed=seed + epoch_it):
+                it += 1
+                state, ld = trainer.step(state, batch, epoch_it, scheduling_start)
+                timer.tick()
+                # keep the scalar ON DEVICE: a float() here would synchronously
+                # round-trip the transport every step; the epoch mean reads back
+                # once below
+                l2_epoch.append(ld["l2_mean"])
+                run_it_hooks(it, state,
+                             lambda ld=ld: {k: float(v) for k, v in ld.items()},
+                             int(batch["idx"]), int(batch["ref_idx"]))
 
         if eval_pose_every > 0 and epoch_it % eval_pose_every == 0 and mc.pose:
             learned = np.asarray(pose_c2w_all(state.params["pose"], mc.pose))

@@ -12,7 +12,7 @@ comes from numpy (host), matching the reference's `random.randint`
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Iterator, Optional
+from typing import Dict, Iterator, Optional, Tuple
 
 import numpy as np
 
@@ -93,3 +93,16 @@ def frame_iterator(scene: SceneData, shuffle: bool = True, random_ref: int = 1,
     order = rng.permutation(scene.n_frames) if shuffle else np.arange(scene.n_frames)
     for idx in order:
         yield batch_for_frame(scene, int(idx), rng=rng, random_ref=random_ref)
+
+
+def epoch_order(n_frames: int, shuffle: bool = True, random_ref: int = 1,
+                seed: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+    """The (frame, ref-frame) index sequence of one epoch, as arrays — the same
+    RNG draws as frame_iterator (permutation first, then one ref pick per frame),
+    precomputed so the scan-fused train path (trainer.train_steps) can consume
+    a whole chunk of steps in one device dispatch."""
+    rng = np.random.RandomState(seed)
+    order = rng.permutation(n_frames) if shuffle else np.arange(n_frames)
+    refs = np.array([pick_ref_idx(int(i), n_frames, random_ref, rng)
+                     for i in order], np.int32)
+    return order.astype(np.int32), refs

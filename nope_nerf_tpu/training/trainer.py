@@ -365,6 +365,47 @@ def train_step(state: TrainState, batch: Dict[str, jax.Array],
     return new_state, loss_dict
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("mc", "rgb_loss_type", "optimizers", "mesh"))
+def train_steps(state: TrainState, scene_stack: Dict[str, jax.Array],
+                order: jax.Array, ref_order: jax.Array,
+                weights: Dict[str, jax.Array], lrs: Dict[str, jax.Array],
+                mc: ModelConfigs, rgb_loss_type: str, optimizers,
+                mesh=None) -> Tuple[TrainState, Dict[str, jax.Array]]:
+    """lax.scan over len(order) full train steps in ONE device dispatch.
+
+    TPU-native replacement for the reference's per-batch Python loop
+    (train.py:210): the scene lives on device (scene_stack holds the stacked
+    per-frame arrays) and each scan iteration gathers its frame pair by index,
+    so a whole chunk of steps runs without host round-trips. Numerically
+    identical to calling train_step per frame (same RNG chain through
+    state.rng, same schedule scalars — both are constant within an epoch).
+    Returns (state, loss_dict with a leading step axis).
+    """
+
+    def gather(a, i):
+        return jax.lax.dynamic_index_in_dim(a, i, 0, keepdims=False)
+
+    def body(st, io):
+        idx, ref = io
+        batch = {
+            "img": gather(scene_stack["imgs"], idx),
+            "depth": gather(scene_stack["depths"], idx),
+            "depth_mask": gather(scene_stack["depth_masks"], idx),
+            "camera_mat": scene_stack["K"],
+            "pose_gt": gather(scene_stack["c2ws_gt"], idx),
+            "idx": idx,
+            "ref_img": gather(scene_stack["imgs"], ref),
+            "ref_depth": gather(scene_stack["depths"], ref),
+            "ref_pose_gt": gather(scene_stack["c2ws_gt"], ref),
+            "ref_idx": ref,
+        }
+        return train_step(st, batch, weights, lrs, mc, rgb_loss_type,
+                          optimizers, mesh)
+
+    return jax.lax.scan(body, state, (order, ref_order))
+
+
 class Trainer:
     """Host-side orchestration: schedules, logging hooks, full-frame visualization.
 
@@ -421,6 +462,26 @@ class Trainer:
         weights, lrs, rgb_loss_type = sched
         return train_step(state, batch, weights, lrs, self.mc, rgb_loss_type,
                           self.optimizers, self.mesh)
+
+    def run_steps(self, state: TrainState, scene, order, ref_order, epoch: int,
+                  scheduling_start: int) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        """Scan-fused chunk of steps: one dispatch for len(order) frames (see
+        train_steps). `scene` is a (device-resident) SceneData; order/ref_order
+        come from data.epoch_order."""
+        key = (epoch, scheduling_start)
+        sched = self._sched_cache.get(key)
+        if sched is None:
+            sched = (self.weights_at(epoch, scheduling_start),
+                     self.lrs_at(epoch, scheduling_start),
+                     self.rgb_loss_type(epoch, scheduling_start))
+            self._sched_cache = {key: sched}
+        weights, lrs, rgb_loss_type = sched
+        scene_stack = {"imgs": scene.imgs, "depths": scene.depths,
+                       "depth_masks": scene.depth_masks, "K": scene.K,
+                       "c2ws_gt": scene.c2ws_gt}
+        return train_steps(state, scene_stack, jnp.asarray(order, jnp.int32),
+                           jnp.asarray(ref_order, jnp.int32), weights, lrs,
+                           self.mc, rgb_loss_type, self.optimizers, self.mesh)
 
     def render_frame(self, state: TrainState, batch: Dict[str, jax.Array],
                      resolution: Tuple[int, int], chunk: int = 1024,

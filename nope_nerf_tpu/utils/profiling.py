@@ -43,6 +43,16 @@ class StepTimer:
             self.times.append(now - self._last)
         self._last = now
 
+    def tick_many(self, n: int) -> None:
+        """Record n steps completed since the last tick (scan-fused chunks run
+        n steps per dispatch); each gets an equal share of the elapsed time."""
+        now = time.perf_counter()
+        if self._last is not None and n > 0:
+            dt = (now - self._last) / n
+            for _ in range(n):
+                self.times.append(dt)
+        self._last = now
+
     @property
     def steps_per_s(self) -> float:
         if not self.times:

@@ -132,3 +132,42 @@ def test_sparse_depth_resample_path(setup):
     state2, ld = trainer_sparse.step(state, batch, epoch=0, scheduling_start=10000)
     assert np.isfinite(float(ld["loss"]))
     assert np.isfinite(float(ld["loss_depth"]))
+
+
+def test_scan_steps_matches_per_step(setup):
+    """trainer.run_steps (whole-epoch lax.scan, the production train path) must be
+    numerically identical to dispatching trainer.step per frame: same host RNG
+    draws (data.epoch_order mirrors frame_iterator) and the same device RNG chain
+    through state.rng."""
+    from nope_nerf_tpu.data import epoch_order
+
+    cfg, scene, mc, state0, trainer = setup
+    order, refs = epoch_order(scene.n_frames, shuffle=True, random_ref=1, seed=7)
+
+    s_loop = state0
+    for idx, ref in zip(order, refs):
+        batch = batch_for_frame(scene, int(idx), ref_idx=int(ref))
+        s_loop, ld_loop = trainer.step(s_loop, batch, 0, 10000)
+
+    s_scan, lds = trainer.run_steps(state0, scene, order, refs, 0, 10000)
+
+    assert lds["loss"].shape == (scene.n_frames,)
+    np.testing.assert_allclose(float(ld_loop["loss"]), float(lds["loss"][-1]),
+                               rtol=1e-6)
+    for g in s_loop.params:
+        for a, b in zip(jax.tree_util.tree_leaves(s_loop.params[g]),
+                        jax.tree_util.tree_leaves(s_scan.params[g])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7)
+    assert int(s_scan.it) == int(s_loop.it)
+
+
+def test_epoch_order_matches_frame_iterator(setup):
+    """epoch_order must consume the host RNG exactly like frame_iterator."""
+    from nope_nerf_tpu.data import epoch_order
+
+    cfg, scene, mc, state, trainer = setup
+    order, refs = epoch_order(scene.n_frames, shuffle=True, random_ref=1, seed=3)
+    batches = list(frame_iterator(scene, shuffle=True, random_ref=1, seed=3))
+    assert [int(b["idx"]) for b in batches] == list(map(int, order))
+    assert [int(b["ref_idx"]) for b in batches] == list(map(int, refs))
