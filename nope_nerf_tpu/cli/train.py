@@ -61,6 +61,25 @@ def train(cfg: dict, synthetic: bool = False, max_epochs: Optional[int] = None):
 
     scene = build_scene(cfg, synthetic)
     n_views = scene.n_frames
+
+    if cfg["dataloading"]["show_pose_only"]:
+        # Pose-loading sanity check (reference dataset.py:114-127): draw the
+        # preprocessed pose frustums and exit without training.
+        from .vis_poses import draw_poses
+        h_img, w_img = scene.imgs.shape[1:3]
+        fx = float(scene.K[0, 0]) * w_img / 2.0
+        fy = float(-scene.K[1, 1]) * h_img / 2.0
+        c2ws_list = [np.asarray(scene.c2ws_gt)]
+        colors, labels = ["tab:blue"], ["preprocessed (gt/llff)"]
+        if scene.c2ws_init is not None:
+            c2ws_list.append(np.asarray(scene.c2ws_init))
+            colors.append("tab:orange")
+            labels.append("init (colmap)")
+        out_path = os.path.join(out_dir, "pose_check.png")
+        draw_poses(c2ws_list, colors, labels, h_img, w_img, fx, fy, out_path)
+        print(f"show_pose_only: wrote {out_path}; exiting without training")
+        return out_path
+
     scene = scene.to_device()  # one-time upload; steps gather on device
     mc = ModelConfigs.from_cfg(cfg, num_cams=n_views)
 

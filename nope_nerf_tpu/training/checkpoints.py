@@ -51,8 +51,22 @@ def load_checkpoint(out_dir: str, filename: str, state: TrainState,
                     ) -> Optional[Tuple[TrainState, Dict[str, Any]]]:
     """Restore into the structure of `state` (shapes must match). Returns
     (state, scalars) or None when no checkpoint exists (fresh start — the
-    reference signals this with FileExistsError, checkpoints.py:81)."""
-    path = os.path.join(out_dir, filename)
+    reference signals this with FileExistsError, checkpoints.py:81).
+
+    `filename` may also be a URL (http/https/file) — downloaded into out_dir
+    and cached by basename, the reference's model_zoo path
+    (checkpoints.py:93-103)."""
+    if "://" in filename:
+        import urllib.parse
+        import urllib.request
+        base = os.path.basename(urllib.parse.urlparse(filename).path)
+        path = os.path.join(out_dir, base)
+        if not os.path.exists(path):
+            os.makedirs(out_dir, exist_ok=True)
+            print(f"downloading checkpoint {filename} -> {path}")
+            urllib.request.urlretrieve(filename, path)
+    else:
+        path = os.path.join(out_dir, filename)
     if not os.path.exists(path):
         return None
     with open(path, "rb") as f:

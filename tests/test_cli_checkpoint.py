@@ -114,3 +114,39 @@ def test_eval_images_cli(trained):
     summary = evaluate(cfg, synthetic=True)
     assert np.isfinite(summary["mean_psnr"])
     assert 0 <= summary["mean_ssim"] <= 1
+
+
+def test_load_checkpoint_from_url(tmp_path):
+    """file:// URL exercises the reference's model_zoo-style remote-checkpoint
+    path (checkpoints.py:93-103) without network egress."""
+    cfg = _tiny_cfg(tmp_path)
+    mc = ModelConfigs.from_cfg(cfg, num_cams=3)
+    init = jnp.broadcast_to(jnp.eye(4), (3, 4, 4))
+    state, _ = create_train_state(jax.random.key(0), mc, init_c2w=init)
+    src_dir = tmp_path / "remote"
+    save_checkpoint(str(src_dir), "model.ckpt", state, {"epoch_it": 3})
+
+    state2, _ = create_train_state(jax.random.key(9), mc, init_c2w=init)
+    url = "file://" + str(src_dir / "model.ckpt")
+    dst_dir = tmp_path / "local"
+    loaded = load_checkpoint(str(dst_dir), url, state2)
+    assert loaded is not None
+    restored, s = loaded
+    assert s["epoch_it"] == 3
+    assert os.path.exists(dst_dir / "model.ckpt")  # cached by basename
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_show_pose_only_exits_with_figure(tmp_path):
+    """dataloading.show_pose_only renders the preprocessed pose frustums and
+    exits without training (reference dataset.py:114-127)."""
+    from nope_nerf_tpu.cli.train import train
+    cfg = _tiny_cfg(tmp_path)
+    cfg["dataloading"]["show_pose_only"] = True
+    out = train(cfg, synthetic=True)
+    assert isinstance(out, str) and out.endswith("pose_check.png")
+    assert os.path.exists(out)
+    assert not os.path.exists(os.path.join(cfg["training"]["out_dir"],
+                                           "model.ckpt"))
