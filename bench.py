@@ -38,7 +38,11 @@ def main() -> None:
     mc = ModelConfigs.from_cfg(cfg, num_cams=scene.n_frames)
     state, optimizers = create_train_state(jax.random.key(0), mc,
                                            init_c2w=jnp.asarray(scene.c2ws_gt))
-    trainer = Trainer(cfg, mc, optimizers)
+    mesh = None
+    if len(jax.devices()) > 1:  # on a pod slice, shard the ray batch over ICI
+        from nope_nerf_tpu.parallel import make_mesh
+        mesh = make_mesh(len(jax.devices()))
+    trainer = Trainer(cfg, mc, optimizers, mesh=mesh)
 
     # The production train path (cli/train with tpu.scan_steps, the default):
     # one lax.scan dispatch per epoch of full train steps.
