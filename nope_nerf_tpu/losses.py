@@ -210,7 +210,7 @@ def compute_losses(cfg: LossConfig,
                    d1: Optional[jax.Array] = None,
                    rt_12: Optional[jax.Array] = None,
                    rt_12_gt: Optional[jax.Array] = None,
-                   chamfer_tile: int = 2048,
+                   chamfer_tile: int = 512,
                    chamfer_use_pallas: bool = False,
                    precomputed: Optional[Dict[str, jax.Array]] = None
                    ) -> Dict[str, jax.Array]:

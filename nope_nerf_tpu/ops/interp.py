@@ -110,6 +110,12 @@ def _resize_matmul(image: jax.Array, size: Tuple[int, int], weight_fn) -> jax.Ar
     """(H, W, C) -> (h, w, C) via precomputed (static-shape) weight matrices."""
     h_out, w_out = size
     h_in, w_in, c = image.shape
+    if (h_out, w_out) == (h_in, w_in):
+        # scale-1 resize is the identity for nearest/bilinear/area weights;
+        # callers resize unconditionally (e.g. the trainer's depth-prior resize,
+        # network.py:19-33 semantics) so this skips two HIGHEST-precision matmuls
+        # per step when render res == prior res.
+        return image
     wh = jnp.asarray(weight_fn(h_out, h_in))
     ww = jnp.asarray(weight_fn(w_out, w_in))
     # rows: (h_out, H) @ (H, W*C); HIGHEST precision — TPU matmuls default to

@@ -48,7 +48,8 @@ class ModelConfigs:
     detach_rgbs_scale: bool = False
     scale_pcs: bool = True
     use_sparse_depth_resample: bool = False  # GT-depth mode: resample rays until >=1 valid
-    chamfer_tile: int = 2048
+    chamfer_tile: int = 512   # 256-2048 measure within ~0.1 ms/step on v5e;
+    # 512 keeps the live (S, tile) d2 block smallest without adding sweep steps
     weight_decay: float = 0.0
     stratified_noise: bool = True  # per-interval jitter during training renders
     use_pallas_chamfer: bool = False  # VMEM-resident Chamfer argmin kernel

@@ -61,23 +61,26 @@ def _draw_rays(key: jax.Array, hw: int, n: int) -> jax.Array:
 
 def _sample_rays(key: jax.Array, hw: int, n: int, depth_mask_flat: Optional[jax.Array],
                  resample: bool) -> Tuple[jax.Array, jax.Array]:
-    """randperm(h*w)[:n], redrawn until >=1 sampled pixel has a valid (sparse) depth
-    (training.py:277-283). Returns (new_key, ray_idx)."""
+    """randperm(h*w)[:n] with the reference's >=1-valid-sparse-depth guarantee
+    (training.py:277-283). Returns (new_key, ray_idx).
+
+    The reference redraws the whole batch until a valid pixel lands in it — a
+    data-dependent loop that can spin unboundedly (and hangs outright on an
+    all-invalid frame). Static-shape equivalent: draw once; if (and only if) no
+    sampled pixel has a valid depth, substitute one known-valid index into
+    slot 0. The guarantee is identical and the step stays a fixed-shape program
+    (measured perf-neutral vs a lax.while_loop on v5e); the sampling
+    distribution differs only on the redraw event itself, which at the
+    reference's sparsest setting (1% density) has probability 0.99^1024 ~ 3e-5
+    per step.
+    """
     key, k0 = jax.random.split(key)
     idx = _draw_rays(k0, hw, n)
     if not resample or depth_mask_flat is None:
         return key, idx
-
-    def cond(carry):
-        _, idx = carry
-        return ~jnp.any(depth_mask_flat[idx])
-
-    def body(carry):
-        key, _ = carry
-        key, k = jax.random.split(key)
-        return key, _draw_rays(k, hw, n)
-
-    key, idx = jax.lax.while_loop(cond, body, (key, idx))
+    any_valid = jnp.any(depth_mask_flat[idx])
+    forced = jnp.argmax(depth_mask_flat)  # first valid index (if one exists)
+    idx = idx.at[0].set(jnp.where(any_valid, idx[0], forced))
     return key, idx
 
 
