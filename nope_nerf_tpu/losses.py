@@ -262,8 +262,16 @@ def compute_losses(cfg: LossConfig,
     else:
         l2_mean = zero
 
-    total = (weights["rgb_weight"] * l_rgb
-             + weights["depth_weight"] * l_depth
+    if precomputed is not None and "ray_total" in precomputed:
+        # Single-kernel fused path (ops/pallas_render.render_ray_loss_fused):
+        # the rgb+depth term arrives already weighted (the annealed weights are
+        # baked into the kernel's cotangents); l_rgb/l_depth above are
+        # stop-gradient metrics.
+        ray_term = precomputed["ray_total"]
+    else:
+        ray_term = (weights["rgb_weight"] * l_rgb
+                    + weights["depth_weight"] * l_depth)
+    total = (ray_term
              + weights["weight_dist_1st_loss"] * l_dist_1st
              + weights["weight_dist_2nd_loss"] * l_dist_2nd
              + weights["pc_weight"] * l_pc

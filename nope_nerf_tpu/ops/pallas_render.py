@@ -27,7 +27,12 @@ t = r*S + s):
   jnp.cumprod (float reassociation only);
 - backward is a full in-kernel recompute (flash-style), chaining composite ->
   heads -> MLP -> encoding, accumulating dW/dB across the sequential grid and
-  emitting per-ray cotangents d[o|v|dir] (N,128) and dz (N,S).
+  emitting per-ray cotangents d[o|v|dir] (N,128) and dz (N,S);
+- the TRAIN step uses render_ray_loss_fused: a single kernel per step that
+  forms the rgb/depth loss cotangents in VMEM from a per-ray target table and
+  emits loss sums + all gradients together, so no separate forward pallas call
+  exists in the step at all (6.9 -> 5.4 ms/step on v5e at the BASELINE.md
+  workload; values/grads match the two-kernel path bitwise in interpret mode).
 
 Reference behavior covered (model/rendering.py:36-198, nope_nerf technique):
 stratified/NDC affine sampling (z and the ray table are built by the caller),
@@ -65,6 +70,12 @@ EPSILON = 1e-6          # compositing epsilon, reference model/rendering.py:9
 RAY_DIM = 128           # packed ray-table lane width
 RAYS_FWD = 8            # rays per forward tile  (8 x 128 samples = 1024 points)
 RAYS_BWD = 8            # rays per backward tile (block sublane dims must be x8)
+
+# Target-table lane layout for the train-fused kernel (lanes 0-2: rgb_gt).
+TGT_DEPTH = 3           # depth_gt, in the same (dist) space as the kernel's dist
+TGT_MASK = 4            # depth-loss validity mask, 0.0/1.0
+TGT_WRGB = 5            # annealed rgb_weight / n_total (same value every row)
+TGT_WDEPTH = 6          # annealed depth_weight * (count>0) / max(count, 1)
 
 
 @functools.lru_cache(maxsize=4)
@@ -335,6 +346,155 @@ def _render_bwd_kernel(cfg: NerfConfig, dist_alpha: bool, R: int, S: int,
     gz_ref[:] = g_z
 
 
+def _render_train_kernel(cfg: NerfConfig, dist_alpha: bool, rgb_p: int,
+                         white_bg: bool, R: int, S: int,
+                         rays_ref, z_ref, *refs):
+    """Train-step kernel: ONE program per tile produces the rgb/depth loss sums
+    AND every gradient — no separate forward pallas call exists in the step.
+
+    The rgb/depth cotangents are analytic functions of the recomputed forward
+    (g_rgb = w_rgb'·d|rgb-gt|^p, g_dist = w_depth'·mask·sign(dist-dgt)), so they
+    are formed in VMEM from the per-ray target table instead of arriving as
+    inputs. Everything after the cotangent prologue is the _render_bwd_kernel
+    tail verbatim (with zero incoming g_w/g_a).
+    """
+    aux = [r[:] for r in refs[:N_AUX]]
+    pe_rows, de_rows = tuple(aux[0:4]), tuple(aux[4:8])
+    ltS, ltT = aux[8], aux[9]
+    W = tuple(w[:] for w in refs[N_AUX:N_AUX + 14])
+    B = tuple(b[:] for b in refs[N_AUX + 14:N_AUX + 26])
+    tgt_ref = refs[N_AUX + 26]
+    dW_refs = refs[N_AUX + 27:N_AUX + 41]
+    dB_refs = refs[N_AUX + 41:N_AUX + 53]
+    drays_ref, gz_ref = refs[N_AUX + 53], refs[N_AUX + 54]
+    dtgt_ref, sums_ref = refs[N_AUX + 55], refs[N_AUX + 56]
+
+    T = R * S
+    rays = rays_ref[:]
+    z_rs = z_ref[:]
+    tgt = tgt_ref[:]
+
+    # ---- forward recompute --------------------------------------------------
+    A_pe, dF, vF = _encode_tile(rays, z_rs, R, S, pe_rows, de_rows)
+    pe = _bf16(_lane_select(A_pe, 10, "enc"))
+    de = _de_broadcast(_lane_select(dF, 4, "enc"), R, S)
+    rgb_raw, sig_raw, acts = _fwd_chain(pe, de, W, B)
+    alpha, occ, raw_rs, deltas = _alpha_forward(sig_raw, z_rs, R, S, cfg,
+                                                dist_alpha)
+    trans, weights, dist = _composite_forward(alpha, z_rs, ltS)
+    rgb3 = jax.nn.sigmoid(rgb_raw).reshape(R, S, RAY_DIM)
+    w3 = weights[:, :, None]                                  # (R,S,1)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        for r in dW_refs:
+            r[:] = jnp.zeros_like(r)
+        for r in dB_refs:
+            r[:] = jnp.zeros_like(r)
+        sums_ref[:] = jnp.zeros_like(sums_ref)
+
+    # ---- loss values + analytic cotangents ----------------------------------
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (R, RAY_DIM), 1)
+    is_rgb = lane128 < 3
+    ray_rgb = jnp.sum(w3 * rgb3, axis=1)                      # (R,128)
+    if white_bg:
+        acc = jnp.sum(weights, axis=1, keepdims=True)         # (R,1)
+        ray_rgb = jnp.where(is_rgb, ray_rgb + (1.0 - acc), ray_rgb)
+    diff = jnp.where(is_rgb, ray_rgb - tgt, 0.0)              # (R,128)
+    m = tgt[:, TGT_MASK:TGT_MASK + 1]                         # (R,1)
+    w_rgb = tgt[:, TGT_WRGB:TGT_WRGB + 1]
+    w_depth = tgt[:, TGT_WDEPTH:TGT_WDEPTH + 1]
+    dgt = tgt[:, TGT_DEPTH:TGT_DEPTH + 1]
+    ddiff = dist - dgt                                        # (R,1)
+
+    row_rgb = jnp.sum(jnp.abs(diff) if rgb_p == 1 else diff * diff,
+                      axis=1, keepdims=True)                  # (R,1)
+    row_depth = m * jnp.abs(ddiff)                            # (R,1)
+    s_rgb = jnp.sum(row_rgb)
+    s_depth = jnp.sum(row_depth)
+    s_l2 = jnp.sum(diff * diff)
+
+    g_rgb_ray = w_rgb * (jnp.sign(diff) if rgb_p == 1 else 2.0 * diff)
+    g_dist = w_depth * m * jnp.sign(ddiff)                    # (R,1)
+
+    row8 = jax.lax.broadcasted_iota(jnp.int32, (8, RAY_DIM), 0)
+    lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, RAY_DIM), 1)
+    vals = jnp.where(lane8 == 0, s_rgb,
+                     jnp.where(lane8 == 1, s_depth,
+                               jnp.where(lane8 == 2, s_l2, 0.0)))
+    sums_ref[:] = sums_ref[:] + jnp.where(row8 == 0, vals, 0.0)
+
+    # d(target table): rgb_gt lanes, depth_gt lane, and the exact per-row grads
+    # of the broadcast weight lanes (their upstream vjp sums rows -> d/d scalar).
+    dt = jnp.where(is_rgb, -g_rgb_ray, 0.0)
+    dt = jnp.where(lane128 == TGT_DEPTH, -g_dist, dt)
+    dt = jnp.where(lane128 == TGT_WRGB, row_rgb, dt)
+    dt = jnp.where(lane128 == TGT_WDEPTH, row_depth, dt)
+    dtgt_ref[:] = dt
+
+    # ---- composite backward (== _render_bwd_kernel with zero g_w/g_a in) ----
+    g_rgb_pts3 = jnp.broadcast_to(g_rgb_ray[:, None, :], (R, S, RAY_DIM))
+    g_w = jnp.sum(g_rgb_pts3 * rgb3, axis=2) + g_dist * z_rs
+    if white_bg:
+        g_w = g_w - jnp.sum(g_rgb_ray, axis=1, keepdims=True)
+
+    g_c = g_w * weights
+    g_logs = _fdot(g_c, ltT)
+    g_alpha = g_w * trans - g_logs / (1.0 - alpha + EPSILON)
+
+    g_z = g_dist * weights
+    laneS = jax.lax.broadcasted_iota(jnp.int32, (R, S), 1)
+    if dist_alpha:
+        E = jnp.exp(-occ * deltas)
+        g_apre = jnp.where(laneS == S - 1, 0.0, g_alpha)
+        g_occ = g_apre * deltas * E
+        g_delta = jnp.where(laneS == S - 1, 0.0, g_apre * occ * E)
+        g_z = g_z - g_delta
+        shifted = pltpu.roll(g_delta, 1, 1)
+        g_z = g_z + jnp.where(laneS == 0, 0.0, shifted)
+    else:
+        g_occ = g_alpha
+    if cfg.dist_alpha:
+        g_sigma = g_occ
+    else:
+        g_sigma = g_occ * (1.0 - occ)
+    if cfg.occ_activation == "softplus":
+        g_raw_rs = g_sigma * jax.nn.sigmoid(raw_rs)
+    else:
+        g_raw_rs = g_sigma * (raw_rs > 0.0)
+
+    lane0 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, RAY_DIM), 2) == 0
+    g_sig_raw = jnp.where(lane0, g_raw_rs[:, :, None], 0.0).reshape(T, RAY_DIM)
+    g_rgb_flat = (w3 * g_rgb_pts3).reshape(T, RAY_DIM)
+    rgb_flat = rgb3.reshape(T, RAY_DIM)
+    g_rgb_raw = g_rgb_flat * rgb_flat * (1.0 - rgb_flat)
+
+    dpe, dde = _bwd_chain(pe, de, acts, g_rgb_raw, g_sig_raw, W,
+                          dW_refs, dB_refs)
+
+    dA3 = (dpe * _lane_select(A_pe, 10, "deriv")).reshape(R, S, PE_DIM)
+    dde_r = jnp.sum(dde.reshape(R, S, DE_DIM), axis=1)
+    d_dF = dde_r * _lane_select(dF, 4, "deriv")
+    g_z = g_z + jnp.sum(dA3 * vF[:, None, :], axis=2)
+    d_oF = jnp.sum(dA3, axis=1)
+    d_vF = jnp.sum(z_rs[:, :, None] * dA3, axis=1)
+
+    pe_scale, pe_c0, pe_c1, pe_c2 = pe_rows
+    de_scale, de_c0, de_c1, de_c2 = de_rows
+    cols = []
+    for d_, scale, cms in ((d_oF, pe_scale, (pe_c0, pe_c1, pe_c2)),
+                           (d_vF, pe_scale, (pe_c0, pe_c1, pe_c2)),
+                           (d_dF, de_scale, (de_c0, de_c1, de_c2))):
+        ds = d_ * scale
+        for cm in cms:
+            cols.append(jnp.sum(ds * cm, axis=1, keepdims=True))
+    drays = jnp.zeros((R, RAY_DIM), jnp.float32)
+    for c, col in enumerate(cols):
+        drays = jnp.where(lane128 == c, col, drays)
+    drays_ref[:] = drays
+    gz_ref[:] = g_z
+
+
 def _ray_tile_spec(cols, rows):
     return pl.BlockSpec((rows, cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
@@ -441,3 +601,112 @@ def _render_fused_bwd(cfg, dist_alpha, res, g):
 
 
 render_rays_fused.defvjp(_render_fused_fwd, _render_fused_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Train-fused path: one kernel per step = loss values + ALL gradients.
+#
+# In the train step the forward kernel's only real consumers are the rgb/depth
+# loss terms, whose cotangents are simple analytic functions of the forward
+# outputs — and the backward kernel recomputes the full forward anyway
+# (flash-style). So the train step calls ONE extended backward kernel that
+# forms the cotangents in VMEM from a per-ray target table, emits the loss
+# partial sums alongside dW/dB/drays/gz, and the separate forward pallas call
+# disappears (measured 1.57 ms/step of the 6.9 ms v5e train step).
+# ---------------------------------------------------------------------------
+
+
+def pack_targets(rgb_gt: jax.Array, depth_gt: jax.Array, mask: jax.Array,
+                 w_rgb_scaled: jax.Array, w_depth_scaled: jax.Array) -> jax.Array:
+    """(N,3) rgb_gt + (N,) depth_gt/mask + two (traced) scalars -> (N,128) f32
+    target table (lane layout TGT_*)."""
+    n = rgb_gt.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (n, RAY_DIM), 1)
+    t = jnp.where(lane < 3,
+                  jnp.pad(rgb_gt.astype(jnp.float32), ((0, 0), (0, RAY_DIM - 3))),
+                  0.0)
+    t = jnp.where(lane == TGT_DEPTH, depth_gt.astype(jnp.float32)[:, None], t)
+    t = jnp.where(lane == TGT_MASK, mask.astype(jnp.float32)[:, None], t)
+    t = jnp.where(lane == TGT_WRGB, w_rgb_scaled.astype(jnp.float32), t)
+    t = jnp.where(lane == TGT_WDEPTH, w_depth_scaled.astype(jnp.float32), t)
+    return t
+
+
+def _raw_render_train(rays, z, tgt, weights, biases, cfg: NerfConfig,
+                      dist_alpha: bool, rgb_p: int, white_bg: bool):
+    n, S = z.shape
+    R = RAYS_BWD
+    grid = (n // R,)
+    aux = _aux_inputs(S)
+    w_specs = [_rep_spec(w.shape) for w in weights]
+    b_specs = [_rep_spec(b.shape) for b in biases]
+    out_shapes = ([jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in weights]
+                  + [jax.ShapeDtypeStruct(b.shape, jnp.float32) for b in biases]
+                  + [jax.ShapeDtypeStruct((n, RAY_DIM), jnp.float32),
+                     jax.ShapeDtypeStruct((n, S), jnp.float32),
+                     jax.ShapeDtypeStruct((n, RAY_DIM), jnp.float32),
+                     jax.ShapeDtypeStruct((8, RAY_DIM), jnp.float32)])
+    out_specs = (w_specs + b_specs
+                 + [_ray_tile_spec(RAY_DIM, R), _ray_tile_spec(S, R),
+                    _ray_tile_spec(RAY_DIM, R), _rep_spec((8, RAY_DIM))])
+    outs = pl.pallas_call(
+        functools.partial(_render_train_kernel, cfg, dist_alpha, rgb_p,
+                          white_bg, R, S),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        grid=grid,
+        in_specs=([_ray_tile_spec(RAY_DIM, R), _ray_tile_spec(S, R)]
+                  + [_rep_spec(a.shape) for a in aux] + w_specs + b_specs
+                  + [_ray_tile_spec(RAY_DIM, R)]),
+        out_specs=out_specs,
+        out_shape=out_shapes,
+    )(rays, z, *aux, *weights, *biases, tgt)
+    dWs, dBs = outs[:14], outs[14:26]
+    drays, gz, dtgt, sums8 = outs[26], outs[27], outs[28], outs[29]
+    return dWs, dBs, drays, gz, dtgt, sums8
+
+
+def _train_impl(params, rays_packed, z, tgt, cfg, dist_alpha, rgb_p, white_bg):
+    weights, biases = pack_weights(params, cfg)
+    dWs, dBs, drays, gz, dtgt, sums8 = _raw_render_train(
+        rays_packed, z, tgt, weights, biases, cfg, dist_alpha, rgb_p, white_bg)
+    sums = jnp.stack([sums8[0, 0], sums8[0, 1], sums8[0, 2]])
+    total = tgt[0, TGT_WRGB] * sums[0] + tgt[0, TGT_WDEPTH] * sums[1]
+    return total, sums, dWs, dBs, drays, gz, dtgt
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def render_ray_loss_fused(params, rays_packed, z, tgt, cfg: NerfConfig,
+                          dist_alpha: bool, rgb_p: int, white_bg: bool):
+    """(params, ray table (N,128), z (N,S), target table (N,128)) ->
+    (total, sums (3,)) where total = w_rgb'·Σ|rgb-gt|^p + w_depth'·Σ m·|dist-dgt|
+    (the weights ride in the target table, see TGT_*) and sums are the raw
+    UNWEIGHTED [Σ|rgb-gt|^p, Σ m·|dist-dgt|, Σ (rgb-gt)²] for metrics.
+
+    One pallas program computes values and gradients together; under jax.grad
+    only that single kernel runs (the cotangent of `total` just scales the
+    stashed grads). `sums` is metrics-only: treat it as stop_gradient — its
+    cotangent is ignored by the VJP."""
+    total, sums, *_ = _train_impl(params, rays_packed, z, tgt, cfg,
+                                  dist_alpha, rgb_p, white_bg)
+    return total, sums
+
+
+def _train_fwd(params, rays_packed, z, tgt, cfg, dist_alpha, rgb_p, white_bg):
+    total, sums, dWs, dBs, drays, gz, dtgt = _train_impl(
+        params, rays_packed, z, tgt, cfg, dist_alpha, rgb_p, white_bg)
+    dparams = _unpack_grads(dWs, dBs, params, cfg)
+    return (total, sums), (dparams, drays.astype(rays_packed.dtype),
+                           gz.astype(z.dtype), dtgt)
+
+
+def _train_bwd(cfg, dist_alpha, rgb_p, white_bg, res, g):
+    dparams, drays, gz, dtgt = res
+    g_total, _g_sums = g  # sums are metrics-only by contract
+    return (jax.tree.map(lambda a: a * g_total, dparams),
+            (drays * g_total).astype(drays.dtype),
+            (gz * g_total).astype(gz.dtype),
+            dtgt * g_total)
+
+
+render_ray_loss_fused.defvjp(_train_fwd, _train_bwd)

@@ -136,6 +136,87 @@ def composite(rgb: jax.Array, alpha: jax.Array,
     return rgb_out, dist, weights
 
 
+def _ray_geometry(pixels: jax.Array, depth_prior: Optional[jax.Array],
+                  camera_mat: jax.Array, world_mat: jax.Array,
+                  scale_mat: Optional[jax.Array], key: Optional[jax.Array],
+                  rcfg: RenderConfig, add_noise: bool) -> Dict[str, jax.Array]:
+    """Pre-MLP ray work shared by render_nope_nerf and the train-fused loss
+    path (identical RNG stream and numerics): ray gen, prior-depth surface
+    distance + masks (rendering.py:53-65), z sampling (stratified or NDC)."""
+    n_rays = pixels.shape[0]
+    dtype = pixels.dtype
+    origin, ray_vec, ray_norm = rays_from_pixels(
+        pixels, camera_mat, world_mat, scale_mat, normalize=rcfg.normalise_ray)
+
+    if depth_prior is None:
+        depth_prior = jnp.ones((n_rays, 1), dtype)
+    points_world = transform_to_world(pixels, depth_prior, camera_mat,
+                                      world_mat, scale_mat)
+    d_i_src = jnp.linalg.norm(points_world - origin, axis=-1)
+    if not rcfg.normalise_ray:
+        d_i_src = d_i_src / ray_norm  # dist -> depth for guide sampling
+
+    mask_zero = d_i_src == 0.0
+    mask_pred = jnp.isfinite(d_i_src)
+    dists = jnp.where(mask_pred, d_i_src, jnp.ones_like(d_i_src))
+    dists = jnp.where(mask_zero, jnp.zeros_like(dists), dists)
+    object_mask = mask_pred & (~mask_zero)
+
+    if key is not None:
+        key, knoise, knormal = jax.random.split(key, 3)
+    else:
+        knoise = knormal = None
+    fg_steps = rcfg.num_points - rcfg.outside_steps
+    ndc_o = ndc_d = None
+    if rcfg.sample_option == "ndc":
+        fxfy = jnp.stack([camera_mat[0, 0], camera_mat[1, 1]])
+        ndc_o, ndc_d = get_ndc_rays_fxfy(fxfy, 1.0, origin[None, :], ray_vec)
+        z_val = jnp.broadcast_to(jnp.linspace(0.0, 1.0, fg_steps, dtype=dtype),
+                                 (n_rays, fg_steps))
+    else:
+        z_val = sample_uniform(knoise, n_rays, fg_steps, rcfg.depth_range,
+                               add_noise, dtype)
+    return {"origin": origin, "ray_vec": ray_vec, "ray_norm": ray_norm,
+            "d_i_src": d_i_src, "dists": dists, "object_mask": object_mask,
+            "z_val": z_val, "ndc_o": ndc_o, "ndc_d": ndc_d,
+            "key": key, "knormal": knormal}
+
+
+def fused_train_eligible(rcfg: RenderConfig, ncfg: NerfConfig,
+                         n_rays: int) -> bool:
+    """Static check: can the train step use the single-kernel fused loss path
+    (ops/pallas_render.render_ray_loss_fused)?"""
+    fg_steps = rcfg.num_points - rcfg.outside_steps
+    return (ncfg.use_pallas and rcfg.n_importance == 0
+            and rcfg.outside_steps == 0 and not rcfg.normal_loss
+            and fg_steps % 128 == 0 and n_rays % 8 == 0)
+
+
+def fused_train_prepare(pixels: jax.Array, depth_prior: Optional[jax.Array],
+                        camera_mat: jax.Array, world_mat: jax.Array,
+                        scale_mat: Optional[jax.Array], key: Optional[jax.Array],
+                        rcfg: RenderConfig, ncfg: NerfConfig, add_noise: bool):
+    """Geometry for the train-fused kernel: (ray_table (N,128), z (N,S),
+    depth_gt (N,) in loss space, object_mask (N,) bool). Numerically identical
+    (same RNG stream) to what render_nope_nerf would feed render_rays_fused."""
+    from .pallas_render import pack_rays
+
+    geo = _ray_geometry(pixels, depth_prior, camera_mat, world_mat, scale_mat,
+                        key, rcfg, add_noise)
+    if rcfg.use_ray_dir:
+        mlp_dir = -geo["ray_vec"]
+    else:
+        mlp_dir = jnp.ones_like(geo["ray_vec"])
+    if rcfg.sample_option == "ndc":
+        ray_table = pack_rays(geo["ndc_o"], geo["ndc_d"], mlp_dir)
+    else:
+        ray_table = pack_rays(geo["origin"], geo["ray_vec"], mlp_dir)
+    depth_gt = geo["d_i_src"]
+    if rcfg.sample_option == "ndc":
+        depth_gt = 1.0 - 1.0 / depth_gt  # rendering.py:158-159
+    return ray_table, geo["z_val"], depth_gt, geo["object_mask"]
+
+
 def render_nope_nerf(nerf_params: Dict[str, jax.Array],
                      pixels: jax.Array,
                      depth_prior: Optional[jax.Array],
@@ -157,38 +238,13 @@ def render_nope_nerf(nerf_params: Dict[str, jax.Array],
     steps = rcfg.num_points
     dtype = pixels.dtype
 
-    origin, ray_vec, ray_norm = rays_from_pixels(
-        pixels, camera_mat, world_mat, scale_mat, normalize=rcfg.normalise_ray)
-
-    if depth_prior is None:
-        depth_prior = jnp.ones((n_rays, 1), dtype)
-    # Surface distance from the depth prior (rendering.py:53-65).
-    points_world = transform_to_world(pixels, depth_prior, camera_mat, world_mat, scale_mat)
-    d_i_src = jnp.linalg.norm(points_world - origin, axis=-1)
-    if not rcfg.normalise_ray:
-        d_i_src = d_i_src / ray_norm  # dist -> depth for guide sampling
-
-    mask_zero = d_i_src == 0.0
-    mask_pred = jnp.isfinite(d_i_src)
-    dists = jnp.where(mask_pred, d_i_src, jnp.ones_like(d_i_src))
-    dists = jnp.where(mask_zero, jnp.zeros_like(dists), dists)
-    object_mask = mask_pred & (~mask_zero)
-
-    # Sample points along rays.
-    if key is not None:
-        key, knoise, knormal = jax.random.split(key, 3)
-    else:
-        knoise = knormal = None
+    geo = _ray_geometry(pixels, depth_prior, camera_mat, world_mat, scale_mat,
+                        key, rcfg, add_noise)
+    origin, ray_vec, ray_norm = geo["origin"], geo["ray_vec"], geo["ray_norm"]
+    d_i_src, dists, object_mask = geo["d_i_src"], geo["dists"], geo["object_mask"]
+    z_val, ndc_o, ndc_d = geo["z_val"], geo["ndc_o"], geo["ndc_d"]
+    key, knormal = geo["key"], geo["knormal"]
     fg_steps = steps - rcfg.outside_steps
-    ndc_o = ndc_d = None
-    if rcfg.sample_option == "ndc":
-        fxfy = jnp.stack([camera_mat[0, 0], camera_mat[1, 1]])
-        ndc_o, ndc_d = get_ndc_rays_fxfy(fxfy, 1.0, origin[None, :], ray_vec)
-        z_val = jnp.broadcast_to(jnp.linspace(0.0, 1.0, fg_steps, dtype=dtype),
-                                 (n_rays, fg_steps))
-    else:
-        z_val = sample_uniform(knoise, n_rays, fg_steps, rcfg.depth_range,
-                               add_noise, dtype)
 
     # Fully-fused path: rays + z go straight into one Pallas program (encode ->
     # MLP -> heads -> composite); per-point (M,3) arrays never materialize. See

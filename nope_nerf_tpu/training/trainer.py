@@ -94,15 +94,62 @@ def _apply_distortion(depth: jax.Array, scale: jax.Array, shift: jax.Array,
 
 def _ray_terms(nerf_params, pixels, depth_prior, rgb_gt, prior_mask, camera_mat,
                world_mat, scale_mat, key, mc: ModelConfigs, rgb_loss_type: str,
-               n_total: int, axis_name: Optional[str] = None):
+               n_total: int, axis_name: Optional[str] = None,
+               weights: Optional[Dict[str, jax.Array]] = None):
     """Render a (shard of the) ray batch and reduce its loss terms to scalars.
 
     With axis_name set, runs inside shard_map over the ray axis: local sums are
     psum'd so every device returns the identical *global* rgb/depth/l2 values —
     the TPU-native replacement for the reference's single-device render
-    (ray sharding per SURVEY.md §2.9). Returns (l_rgb, l_depth, l2_mean).
+    (ray sharding per SURVEY.md §2.9).
+
+    Returns (l_rgb, l_depth, l2_mean, ray_total). When the single-kernel fused
+    loss path is eligible (weights given + ops/render.fused_train_eligible),
+    ray_total is the already-weighted rgb+depth term computed by ONE pallas
+    program that also produces every gradient (no separate forward kernel runs
+    in the step — see ops/pallas_render.render_ray_loss_fused) and
+    l_rgb/l_depth/l2_mean are stop-gradient metrics; otherwise ray_total is
+    None and the caller weights l_rgb/l_depth itself.
     """
     from ..losses import depth_loss_invariant
+    from ..ops.render import fused_train_eligible, fused_train_prepare
+
+    use_fused_loss = (weights is not None
+                      and mc.loss.depth_loss_type == "l1"
+                      and fused_train_eligible(mc.render, mc.nerf,
+                                               pixels.shape[0]))
+    if use_fused_loss:
+        from ..ops.pallas_render import pack_targets, render_ray_loss_fused
+
+        ray_table, z_val, depth_gt, object_mask = fused_train_prepare(
+            pixels, depth_prior, camera_mat, world_mat, scale_mat, key,
+            mc.render, mc.nerf, add_noise=mc.stratified_noise)
+        if mc.detach_gt_depth:
+            depth_gt = jax.lax.stop_gradient(depth_gt)
+        mask = object_mask & prior_mask
+        count = jnp.sum(mask.astype(jnp.float32))
+        if axis_name:
+            count = jax.lax.psum(count, axis_name)
+        w_rgb_s = weights["rgb_weight"] / n_total
+        w_depth_s = (weights["depth_weight"] * (count > 0)
+                     / jnp.maximum(count, 1.0))
+        if not mc.loss.use_rgb:
+            w_rgb_s = jnp.zeros_like(w_rgb_s)
+        if not mc.loss.use_depth:
+            w_depth_s = jnp.zeros_like(w_depth_s)
+        tgt = pack_targets(rgb_gt, depth_gt, mask, w_rgb_s, w_depth_s)
+        rgb_p = 1 if rgb_loss_type == "l1" else 2
+        total, sums = render_ray_loss_fused(
+            nerf_params, ray_table, z_val, tgt, mc.nerf,
+            mc.render.dist_alpha, rgb_p, mc.render.white_background)
+        sums = jax.lax.stop_gradient(sums)
+        if axis_name:
+            total = jax.lax.psum(total, axis_name)
+            sums = jax.lax.psum(sums, axis_name)
+        l_rgb = sums[0] / n_total
+        l_depth = jnp.where(count > 0, sums[1] / jnp.maximum(count, 1.0), 0.0)
+        l2_mean = sums[2] / (n_total * 3)
+        return l_rgb, l_depth, l2_mean, total
 
     out = render_nope_nerf(nerf_params, pixels, depth_prior, camera_mat,
                            world_mat, scale_mat, key, mc.render, mc.nerf,
@@ -147,7 +194,7 @@ def _ray_terms(nerf_params, pixels, depth_prior, rgb_gt, prior_mask, camera_mat,
         l2_mean = allreduce(jnp.sum((out["rgb"] - rgb_gt) ** 2)) / (n_total * 3)
     else:
         l2_mean = zero
-    return l_rgb, l_depth, l2_mean
+    return l_rgb, l_depth, l2_mean, None
 
 
 def compute_step_loss(params: Dict[str, Any], batch: Dict[str, jax.Array],
@@ -209,30 +256,45 @@ def compute_step_loss(params: Dict[str, Any], batch: Dict[str, jax.Array],
         prior_mask = depth_mask.reshape(-1)[ray_idx]
         n_total = mc.n_training_points
         if mesh is None:
-            l_rgb, l_depth, l2_mean = _ray_terms(
+            l_rgb, l_depth, l2_mean, ray_total = _ray_terms(
                 params["nerf"], pixels, depth_prior, rgb_gt, prior_mask, camera_mat,
-                world_mat, scale_mat, key, mc, rgb_loss_type, n_total)
+                world_mat, scale_mat, key, mc, rgb_loss_type, n_total,
+                weights=weights)
         else:
             from jax.sharding import PartitionSpec as P
 
             def shard_fn(nerf_params, pixels_s, depth_prior_s, rgb_gt_s, mask_s,
-                         camera_mat_r, world_mat_r, keys_s):
-                return _ray_terms(nerf_params, pixels_s, depth_prior_s, rgb_gt_s,
-                                  mask_s, camera_mat_r, world_mat_r, None,
-                                  keys_s[0], mc, rgb_loss_type, n_total,
-                                  axis_name="data")
+                         camera_mat_r, world_mat_r, keys_s, w_rgb, w_depth):
+                lr, ld, l2, tot = _ray_terms(
+                    nerf_params, pixels_s, depth_prior_s, rgb_gt_s,
+                    mask_s, camera_mat_r, world_mat_r, None,
+                    keys_s[0], mc, rgb_loss_type, n_total,
+                    axis_name="data",
+                    weights={"rgb_weight": w_rgb, "depth_weight": w_depth})
+                # shard_map outputs can't be None — signal "unfused" with 0.
+                return lr, ld, l2, (tot if tot is not None
+                                    else jnp.asarray(0.0, jnp.float32))
 
             n_dev = mesh.devices.size
             keys = jax.random.split(key, n_dev)
-            l_rgb, l_depth, l2_mean = jax.shard_map(
+            l_rgb, l_depth, l2_mean, ray_total = jax.shard_map(
                 shard_fn, mesh=mesh,
                 in_specs=(P(), P("data"), P("data"), P("data"), P("data"),
-                          P(), P(), P("data")),
-                out_specs=(P(), P(), P()),
+                          P(), P(), P("data"), P(), P()),
+                out_specs=(P(), P(), P(), P()),
                 check_vma=False,
             )(params["nerf"], pixels, depth_prior, rgb_gt, prior_mask,
-              camera_mat, world_mat, keys)
+              camera_mat, world_mat, keys,
+              jnp.asarray(weights["rgb_weight"], jnp.float32),
+              jnp.asarray(weights["depth_weight"], jnp.float32))
+            from ..ops.render import fused_train_eligible
+            if not (lcfg.depth_loss_type == "l1"
+                    and fused_train_eligible(mc.render, mc.nerf,
+                                             n_total // n_dev)):
+                ray_total = None
         precomputed = {"loss_rgb": l_rgb, "loss_depth": l_depth, "l2_mean": l2_mean}
+        if ray_total is not None:
+            precomputed["ray_total"] = ray_total
     else:
         precomputed = {"loss_rgb": jnp.asarray(0.0, jnp.float32),
                        "loss_depth": jnp.asarray(0.0, jnp.float32),

@@ -86,3 +86,114 @@ def test_fused_render_grads_match():
     rel = np.max(np.abs(np.asarray(flat_r) - np.asarray(flat_g))) / (
         np.max(np.abs(np.asarray(flat_r))) + 1e-9)
     assert rel < 5e-3, f"grad rel err {rel}"
+
+
+# ---------------------------------------------------------------------------
+# Train-fused single-kernel loss path (render_ray_loss_fused)
+# ---------------------------------------------------------------------------
+
+
+def _train_setup(n_rays=8, **rcfg_kw):
+    """A tiny but eligible train-fused workload with a mixed-validity mask."""
+    key = jax.random.key(2)
+    ncfg = NerfConfig(compute_dtype="bfloat16", use_pallas=True)
+    params = init_nerf_params(key, ncfg)
+    rcfg = RenderConfig(num_points=128, depth_range=(0.05, 6.0), **rcfg_kw)
+    cam = camera_matrix_from_focal(jnp.asarray(1.2), jnp.asarray(1.4))
+    world = jnp.eye(4)
+    _, pixels = pixel_grid((4, max(4, n_rays)))
+    pixels = pixels[:n_rays]
+    kd, kr = jax.random.split(jax.random.key(5))
+    depth_prior = 2.0 + jax.random.uniform(kd, (n_rays, 1))
+    rgb_gt = jax.random.uniform(kr, (n_rays, 3))
+    prior_mask = (jnp.arange(n_rays) % 3) != 0        # mixed validity
+    return params, ncfg, rcfg, pixels, depth_prior, rgb_gt, prior_mask, cam, world
+
+
+def _ray_terms_pair(rgb_loss_type, detach_gt=False, **rcfg_kw):
+    """(reference, fused) (l_rgb, l_depth, l2, total, grads) via _ray_terms."""
+    import nope_nerf_tpu.ops.render as R
+    from nope_nerf_tpu.training.trainer import _ray_terms
+
+    (params, ncfg, rcfg, pixels, depth_prior, rgb_gt, prior_mask,
+     cam, world) = _train_setup(**rcfg_kw)
+
+    class MC:  # minimal static config view consumed by _ray_terms
+        pass
+
+    mc = MC()
+    mc.nerf, mc.render = ncfg, rcfg
+    mc.detach_gt_depth = detach_gt
+    mc.stratified_noise = True
+    from nope_nerf_tpu.losses import LossConfig
+    mc.loss = LossConfig()
+    weights = {"rgb_weight": jnp.asarray(0.7), "depth_weight": jnp.asarray(0.3)}
+    key = jax.random.key(9)
+    n_total = pixels.shape[0]
+
+    def total_of(disable):
+        orig = R.fused_train_eligible
+        if disable:
+            R.fused_train_eligible = lambda *a: False
+        try:
+            def f(p):
+                l_rgb, l_depth, l2, tot = _ray_terms(
+                    p, pixels, depth_prior, rgb_gt, prior_mask, cam, world,
+                    None, key, mc, rgb_loss_type, n_total, weights=weights)
+                if tot is None:
+                    tot = (weights["rgb_weight"] * l_rgb
+                           + weights["depth_weight"] * l_depth)
+                return tot, (l_rgb, l_depth, l2)
+            with pltpu.force_tpu_interpret_mode():
+                (tot, mets), grads = jax.value_and_grad(f, has_aux=True)(params)
+        finally:
+            R.fused_train_eligible = orig
+        return tot, mets, grads
+
+    return total_of(True), total_of(False)
+
+
+def _assert_train_parity(ref, fus, tol=2e-5):
+    (t_r, m_r, g_r), (t_f, m_f, g_f) = ref, fus
+    np.testing.assert_allclose(float(t_r), float(t_f), rtol=tol, atol=tol)
+    for a, b in zip(m_r, m_f):
+        np.testing.assert_allclose(float(a), float(b), rtol=tol, atol=tol)
+    fr, _ = jax.flatten_util.ravel_pytree(g_r)
+    ff, _ = jax.flatten_util.ravel_pytree(g_f)
+    scale = float(jnp.max(jnp.abs(fr))) + 1e-12
+    np.testing.assert_allclose(np.asarray(ff) / scale, np.asarray(fr) / scale,
+                               atol=5e-5)
+
+
+def test_train_fused_matches_two_kernel_l1():
+    ref, fus = _ray_terms_pair("l1")
+    _assert_train_parity(ref, fus)
+
+
+def test_train_fused_matches_two_kernel_l2():
+    ref, fus = _ray_terms_pair("l2")
+    _assert_train_parity(ref, fus)
+
+
+def test_train_fused_dist_alpha_white_bg():
+    ref, fus = _ray_terms_pair("l2", dist_alpha=True, white_background=True)
+    _assert_train_parity(ref, fus)
+
+
+def test_train_fused_detach_gt_depth():
+    ref, fus = _ray_terms_pair("l1", detach_gt=True)
+    _assert_train_parity(ref, fus)
+
+
+def test_train_fused_ineligible_falls_back():
+    from nope_nerf_tpu.ops.render import fused_train_eligible
+    ncfg = NerfConfig(use_pallas=True)
+    assert fused_train_eligible(RenderConfig(num_points=128), ncfg, 16)
+    assert not fused_train_eligible(RenderConfig(num_points=128), ncfg, 17)
+    assert not fused_train_eligible(RenderConfig(num_points=64), ncfg, 16)
+    assert not fused_train_eligible(
+        RenderConfig(num_points=128, normal_loss=True), ncfg, 16)
+    assert not fused_train_eligible(
+        RenderConfig(num_points=128, n_importance=8), ncfg, 16)
+    assert not fused_train_eligible(
+        RenderConfig(num_points=128), NerfConfig(use_pallas=False), 16)
