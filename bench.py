@@ -47,7 +47,8 @@ def main() -> None:
     # The production train path (cli/train with tpu.scan_steps, the default):
     # one lax.scan dispatch per epoch of full train steps.
     from nope_nerf_tpu.data import epoch_order
-    epoch_len = 25  # steps per dispatch; n_steps must be a multiple
+    epoch_len = 50  # steps per dispatch (one production epoch of a 50-frame
+    # scene); n_steps must be a multiple
     order, refs = epoch_order(scene.n_frames, shuffle=True, seed=0)
     order = np.resize(order, epoch_len)
     refs = np.resize(refs, epoch_len)
