@@ -121,7 +121,7 @@ def generate_spiral_nerf(learned_poses: np.ndarray, bds: np.ndarray,
 
 
 def render_trajectory(nerf_params, c2ws: np.ndarray, camera_mat, resolution,
-                      ncfg, rcfg, chunk: int = 1024,
+                      ncfg, rcfg, chunk: int = 131072,
                       out_dir: Optional[str] = None,
                       save_video: bool = True) -> List[Dict[str, np.ndarray]]:
     """Render every pose of a trajectory at `resolution`; optionally write
@@ -140,7 +140,8 @@ def render_trajectory(nerf_params, c2ws: np.ndarray, camera_mat, resolution,
     ones = jnp.ones((chunk, 1))
 
     render_chunk = jax.jit(functools.partial(
-        render_nope_nerf, rcfg=rcfg, ncfg=ncfg, add_noise=False, eval_=True))
+        render_nope_nerf, rcfg=rcfg, ncfg=ncfg, add_noise=False, eval_=True,
+        need_aux=False))
 
     frames = []
     for vi, c2w in enumerate(c2ws):

@@ -204,15 +204,14 @@ def _de_broadcast(x_r, R: int, S: int):
     return _bf16(jnp.broadcast_to(x_r[:, None, :], (R, S, k)).reshape(R * S, k))
 
 
-def _render_fwd_kernel(cfg: NerfConfig, dist_alpha: bool, R: int, S: int,
-                       rays_ref, z_ref, *refs):
+def _render_fwd_kernel(cfg: NerfConfig, dist_alpha: bool, want_aux: bool,
+                       R: int, S: int, rays_ref, z_ref, *refs):
     aux = [r[:] for r in refs[:N_AUX]]
     pe_rows, de_rows = tuple(aux[0:4]), tuple(aux[4:8])
     ltS = aux[8]
     W = tuple(w[:] for w in refs[N_AUX:N_AUX + 14])
     B = tuple(b[:] for b in refs[N_AUX + 14:N_AUX + 26])
-    perray_ref, w_ref, a_ref = (refs[N_AUX + 26], refs[N_AUX + 27],
-                                refs[N_AUX + 28])
+    perray_ref = refs[N_AUX + 26]
 
     rays = rays_ref[:]
     z_rs = z_ref[:]
@@ -232,8 +231,10 @@ def _render_fwd_kernel(cfg: NerfConfig, dist_alpha: bool, R: int, S: int,
     lane = jax.lax.broadcasted_iota(jnp.int32, (R, RAY_DIM), 1)
     perray_ref[:] = jnp.where(lane < 3, ray_acc,
                               jnp.where(lane == 3, dist, 0.0))
-    w_ref[:] = weights
-    a_ref[:] = alpha
+    if want_aux:
+        w_ref, a_ref = refs[N_AUX + 27], refs[N_AUX + 28]
+        w_ref[:] = weights
+        a_ref[:] = alpha
 
 
 def _render_bwd_kernel(cfg: NerfConfig, dist_alpha: bool, R: int, S: int,
@@ -500,27 +501,32 @@ def _ray_tile_spec(cols, rows):
 
 
 def _raw_render_fwd(rays, z, weights, biases, cfg: NerfConfig,
-                    dist_alpha: bool):
+                    dist_alpha: bool, want_aux: bool = True):
     n, S = z.shape
     R = RAYS_FWD
     grid = (n // R,)
     aux = _aux_inputs(S)
     w_specs = [_rep_spec(w.shape) for w in weights]
     b_specs = [_rep_spec(b.shape) for b in biases]
-    per_ray, w_out, a_out = pl.pallas_call(
-        functools.partial(_render_fwd_kernel, cfg, dist_alpha, R, S),
+    out_specs = [_ray_tile_spec(RAY_DIM, R)]
+    out_shape = [jax.ShapeDtypeStruct((n, RAY_DIM), jnp.float32)]
+    if want_aux:
+        out_specs += [_ray_tile_spec(S, R), _ray_tile_spec(S, R)]
+        out_shape += [jax.ShapeDtypeStruct((n, S), jnp.float32),
+                      jax.ShapeDtypeStruct((n, S), jnp.float32)]
+    outs = pl.pallas_call(
+        functools.partial(_render_fwd_kernel, cfg, dist_alpha, want_aux, R, S),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         grid=grid,
         in_specs=([_ray_tile_spec(RAY_DIM, R), _ray_tile_spec(S, R)]
                   + [_rep_spec(a.shape) for a in aux] + w_specs + b_specs),
-        out_specs=[_ray_tile_spec(RAY_DIM, R), _ray_tile_spec(S, R),
-                   _ray_tile_spec(S, R)],
-        out_shape=[jax.ShapeDtypeStruct((n, RAY_DIM), jnp.float32),
-                   jax.ShapeDtypeStruct((n, S), jnp.float32),
-                   jax.ShapeDtypeStruct((n, S), jnp.float32)],
+        out_specs=out_specs,
+        out_shape=out_shape,
     )(rays, z, *aux, *weights, *biases)
-    return per_ray, w_out, a_out
+    if want_aux:
+        return outs[0], outs[1], outs[2]
+    return outs[0], None, None
 
 
 def _raw_render_bwd(rays, z, weights, biases, g_perray, g_w, g_a,
@@ -601,6 +607,37 @@ def _render_fused_bwd(cfg, dist_alpha, res, g):
 
 
 render_rays_fused.defvjp(_render_fused_fwd, _render_fused_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def render_rays_fused_noaux(params, rays_packed, z, cfg: NerfConfig,
+                            dist_alpha: bool = False):
+    """render_rays_fused without the (N,S) weights/alpha outputs -> (rgb, dist).
+
+    For eval/visualization renders nothing consumes weights/alpha, but pallas
+    outputs are always materialized — at a 131k-ray eval chunk they are 128 MB
+    of pure HBM-write waste per call. Gradients (used by test-time pose
+    optimization) are identical: the backward kernel recomputes everything and
+    receives zero cotangents for the missing outputs."""
+    per_ray, _, _ = _raw_render_fwd(
+        rays_packed, z, *pack_weights(params, cfg), cfg=cfg,
+        dist_alpha=dist_alpha, want_aux=False)
+    return per_ray[:, :3], per_ray[:, 3]
+
+
+def _render_noaux_fwd(params, rays_packed, z, cfg, dist_alpha):
+    out = render_rays_fused_noaux(params, rays_packed, z, cfg, dist_alpha)
+    return out, (params, rays_packed, z)
+
+
+def _render_noaux_bwd(cfg, dist_alpha, res, g):
+    params, rays_packed, z = res
+    g_rgb, g_dist = g
+    zeros = jnp.zeros(z.shape, jnp.float32)
+    return _render_fused_bwd(cfg, dist_alpha, res, (g_rgb, g_dist, zeros, zeros))
+
+
+render_rays_fused_noaux.defvjp(_render_noaux_fwd, _render_noaux_bwd)
 
 
 # ---------------------------------------------------------------------------

@@ -227,8 +227,13 @@ def render_nope_nerf(nerf_params: Dict[str, jax.Array],
                      rcfg: RenderConfig,
                      ncfg: NerfConfig,
                      add_noise: bool = True,
-                     eval_: bool = False) -> Dict[str, jax.Array]:
+                     eval_: bool = False,
+                     need_aux: bool = True) -> Dict[str, jax.Array]:
     """Render N rays of one frame. Returns a dict of full arrays + masks.
+
+    need_aux=False (eval/vis renders) skips materializing the (N,S)
+    weights/alpha/z_vals outputs — 128 MB of HBM writes per 131k-ray chunk that
+    nothing downstream reads; the dict then carries None for those keys.
 
     Output keys (parity with rendering.py:160-167, with masks instead of gathers):
       rgb (N,3), z_vals (N,S), alpha (N,S), depth_pred (N,), depth_gt (N,),
@@ -253,7 +258,8 @@ def render_nope_nerf(nerf_params: Dict[str, jax.Array],
                  and rcfg.outside_steps == 0
                  and fg_steps % 128 == 0 and n_rays % 8 == 0)
     if use_fused:
-        from .pallas_render import pack_rays, render_rays_fused
+        from .pallas_render import (pack_rays, render_rays_fused,
+                                    render_rays_fused_noaux)
         if rcfg.use_ray_dir:
             mlp_dir = -ray_vec
         else:
@@ -262,8 +268,13 @@ def render_nope_nerf(nerf_params: Dict[str, jax.Array],
             ray_table = pack_rays(ndc_o, ndc_d, mlp_dir)
         else:
             ray_table = pack_rays(origin, ray_vec, mlp_dir)
-        rgb_values, dist_pred, weights, alpha = render_rays_fused(
-            nerf_params, ray_table, z_val, ncfg, rcfg.dist_alpha)
+        if not need_aux and not rcfg.white_background:
+            rgb_values, dist_pred = render_rays_fused_noaux(
+                nerf_params, ray_table, z_val, ncfg, rcfg.dist_alpha)
+            weights = alpha = None
+        else:
+            rgb_values, dist_pred, weights, alpha = render_rays_fused(
+                nerf_params, ray_table, z_val, ncfg, rcfg.dist_alpha)
     else:
         if rcfg.sample_option == "ndc":
             pts = ndc_o[:, None, :] + ndc_d[:, None, :] * z_val[..., None]

@@ -549,7 +549,7 @@ class Trainer:
                            self.mc, rgb_loss_type, self.optimizers, self.mesh)
 
     def render_frame(self, state: TrainState, batch: Dict[str, jax.Array],
-                     resolution: Tuple[int, int], chunk: int = 32768,
+                     resolution: Tuple[int, int], chunk: int = 131072,
                      use_learned_pose: bool = True) -> Dict[str, jnp.ndarray]:
         """Full-frame eval render in fixed-size ray chunks (reference render_visdata,
         training.py:103-165). Returns {'rgb': (h,w,3), 'depth': (h,w)}.
@@ -557,8 +557,8 @@ class Trainer:
         TPU-first: the reference's 1024-px chunks are a GPU-memory convention;
         on TPU each chunk is a dispatch, and the fused kernel's VMEM footprint
         is independent of chunk size (it only sets the grid), so big chunks are
-        strictly better — 32k cuts a 188x621 frame from ~114 dispatches to 4
-        (measured 9.8 -> 0.3 s/frame on v5e together with the jit cache)."""
+        strictly better — the 128k default renders a whole 188x621 frame in ONE
+        dispatch (measured 9.8 s -> 0.21 s/frame on v5e with the jit cache)."""
         import numpy as np
         h, w = resolution
         mc = self.mc
@@ -594,7 +594,7 @@ class Trainer:
         if render_chunk is None:
             render_chunk = jax.jit(functools.partial(
                 render_nope_nerf, rcfg=mc.render, ncfg=mc.nerf,
-                add_noise=False, eval_=True))
+                add_noise=False, eval_=True, need_aux=False))
             self._jit_cache[cache_key] = render_chunk
         rgbs, depths = [], []
         for i in range(0, n + pad, chunk):
