@@ -232,6 +232,10 @@ def train(cfg: dict, synthetic: bool = False, max_epochs: Optional[int] = None):
                                       seed=seed + epoch_it)
             state, lds = trainer.run_steps(state, scene, order, refs, epoch_it,
                                            scheduling_start)
+            # One scalar readback per epoch so the throughput meter measures
+            # device completion, not async dispatch (block_until_ready is not
+            # reliable on every transport).
+            float(lds["loss"][-1])
             timer.tick_many(len(order))
             l2_epoch.append(lds["l2_mean"])
             lds_np = None  # one bulk transfer, only if some hook needs it
