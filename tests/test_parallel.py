@@ -88,3 +88,53 @@ def test_sharded_trainer_converges(setup):
             losses.append(float(ld["loss"]))
     assert np.isfinite(losses).all()
     assert np.mean(losses[-8:]) < 0.7 * np.mean(losses[:8])
+
+
+def test_sharded_fused_train_kernel_matches_single_chip():
+    """The single-kernel fused loss path (render_ray_loss_fused) inside the
+    ray-sharded shard_map: per-shard kernels + psum'd count/total/sums must
+    reproduce the single-chip fused values and grads (this is the path a pod
+    slice runs — bench.py auto-meshes when >1 device is present)."""
+    import functools
+
+    cfg = load_config(overrides={
+        "model": {"hidden_dim": 128},
+        "rendering": {"num_points": 128},
+        "training": {"n_training_points": 64, "pc_ratio": 4},
+        "pose": {"learn_pose": True, "init_pose": True},
+    })
+    scene = SceneData.from_dict(dict(make_synthetic_scene(n_frames=3, h=16, w=24)))
+    mc = ModelConfigs.from_cfg(cfg, num_cams=scene.n_frames)
+    mc = type(mc)(**{**mc.__dict__, "chamfer_tile": 64, "stratified_noise": False})
+    assert mc.nerf.use_pallas
+    state, _ = create_train_state(jax.random.key(0), mc,
+                                  init_c2w=jnp.asarray(scene.c2ws_gt))
+    mesh = make_mesh(8)
+    batch = {k: jnp.asarray(v) for k, v in
+             batch_for_frame(scene, 1, rng=np.random.RandomState(0)).items()}
+    weights = {k: jnp.asarray(1.0) for k in
+               ["rgb_weight", "depth_weight", "pc_weight", "rgb_s_weight",
+                "depth_consistency_weight", "weight_dist_2nd_loss",
+                "weight_dist_1st_loss", "t_cycle_weight"]}
+    ray_idx = jnp.arange(64) * 5
+    key = jax.random.key(7)
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    outs = {}
+    for name, m in (("single", None), ("mesh", mesh)):
+        vg = jax.value_and_grad(functools.partial(
+            compute_step_loss, mc=mc, rgb_loss_type="l2", mesh=m), has_aux=True)
+        with pltpu.force_tpu_interpret_mode():
+            (loss, ld), grads = vg(state.params, batch, weights, ray_idx, key)
+        assert "loss_rgb" in ld
+        outs[name] = (float(loss), grads)
+
+    l_s, g_s = outs["single"]
+    l_m, g_m = outs["mesh"]
+    np.testing.assert_allclose(l_s, l_m, rtol=2e-5, atol=2e-5)
+    errs = jax.tree.map(
+        lambda a, b: float(np.max(np.abs(np.asarray(a) - np.asarray(b)))
+                           / max(float(np.max(np.abs(np.asarray(a)))), 1e-12)),
+        g_s, g_m)
+    assert max(jax.tree.leaves(errs)) < 5e-5, errs
