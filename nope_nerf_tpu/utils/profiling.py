@@ -66,3 +66,62 @@ class StepTimer:
     def summary(self) -> str:
         return (f"{self.steps_per_s:.2f} steps/s, "
                 f"{self.rays_per_s:,.0f} rays/s")
+
+
+def summarize_trace(log_dir: str, steps: int = 1, top: int = 20) -> list:
+    """Per-op device-time table from a jax.profiler trace directory.
+
+    Parses the newest `*.trace.json.gz` under `log_dir`, keeps device-process
+    events, and attributes time to LEAF events (an event containing another
+    event on the same thread is a wrapper, not work). Divide by `steps` to get
+    per-step numbers when the traced region ran a scan of `steps` iterations.
+
+    Returns [(ms_per_step, count_per_step, name), ...] sorted descending —
+    print it, or feed it to a dashboard. This is how the train step's
+    kernel-vs-glue split was measured on v5e (pallas custom-vjp calls appear as
+    `jvp__*` / `transpose_jvp__*` regions).
+    """
+    import collections
+    import glob
+    import gzip
+    import json
+
+    paths = sorted(glob.glob(f"{log_dir}/**/*.trace.json.gz", recursive=True))
+    if not paths:
+        raise FileNotFoundError(f"no trace files under {log_dir}")
+    with gzip.open(paths[-1]) as f:
+        trace = json.load(f)
+
+    proc_names = {}
+    for e in trace["traceEvents"]:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            proc_names[e["pid"]] = e["args"].get("name", "")
+    events = [e for e in trace["traceEvents"]
+              if e.get("ph") == "X" and any(
+                  k in proc_names.get(e["pid"], "") for k in ("TPU", "GPU", "/device"))]
+
+    by_thread = collections.defaultdict(list)
+    for e in events:
+        by_thread[(e["pid"], e["tid"])].append(e)
+    leaf_time: collections.Counter = collections.Counter()
+    leaf_count: collections.Counter = collections.Counter()
+    for es in by_thread.values():
+        es.sort(key=lambda e: (e["ts"], -e.get("dur", 0)))
+        stack: list = []
+        def flush(e=None):
+            while stack and (e is None or
+                             stack[-1]["ts"] + stack[-1].get("dur", 0) <= e["ts"]):
+                s = stack.pop()
+                if s.get("_leaf", True):
+                    leaf_time[s["name"]] += s.get("dur", 0)
+                    leaf_count[s["name"]] += 1
+        for e in es:
+            flush(e)
+            if stack:
+                stack[-1]["_leaf"] = False
+            stack.append(e)
+        flush()
+
+    rows = [(dur / steps / 1e3, leaf_count[name] / steps, name)
+            for name, dur in leaf_time.most_common(top)]
+    return rows

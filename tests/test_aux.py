@@ -54,3 +54,35 @@ def test_step_timer():
 def test_profile_trace_noop():
     with profile_trace(None):
         pass  # must not raise
+
+
+def test_summarize_trace(tmp_path):
+    """Leaf-attribution over a synthetic chrome trace: wrappers excluded."""
+    import gzip
+    import json
+
+    from nope_nerf_tpu.utils.profiling import summarize_trace
+
+    trace = {"traceEvents": [
+        {"ph": "M", "pid": 1, "name": "process_name",
+         "args": {"name": "/device:TPU:0"}},
+        # wrapper spans [0, 100); two leaves inside; one separate leaf
+        {"ph": "X", "pid": 1, "tid": 1, "name": "wrapper", "ts": 0, "dur": 100},
+        {"ph": "X", "pid": 1, "tid": 1, "name": "matmul", "ts": 10, "dur": 40},
+        {"ph": "X", "pid": 1, "tid": 1, "name": "matmul", "ts": 60, "dur": 30},
+        {"ph": "X", "pid": 1, "tid": 1, "name": "copy", "ts": 120, "dur": 10},
+        # a non-device process is ignored
+        {"ph": "M", "pid": 2, "name": "process_name", "args": {"name": "python"}},
+        {"ph": "X", "pid": 2, "tid": 1, "name": "host_junk", "ts": 0, "dur": 999},
+    ]}
+    d = tmp_path / "plugins" / "profile" / "x"
+    d.mkdir(parents=True)
+    with gzip.open(d / "vm.trace.json.gz", "wt") as f:
+        json.dump(trace, f)
+
+    rows = summarize_trace(str(tmp_path), steps=2)
+    table = {name: (ms, cnt) for ms, cnt, name in rows}
+    assert "host_junk" not in table
+    assert "wrapper" not in table          # it contains other events
+    assert table["matmul"] == (0.035, 1.0)  # (40+30)/2 us -> ms
+    assert table["copy"] == (0.005, 0.5)
