@@ -52,12 +52,10 @@ def init_test_poses(method: str, eval_c2ws_init: Optional[np.ndarray],
     raise ValueError(f"unknown init method {method}")
 
 
-@functools.partial(jax.jit, static_argnames=("pcfg", "fcfg", "ncfg", "rcfg",
-                                             "n_points", "opt"))
-def _pose_opt_step(pose_params, opt_state, nerf_params, focal_params, img, idx,
-                   camera_mat, key, lr, pcfg: PoseConfig,
-                   fcfg: Optional[FocalConfig], ncfg: NerfConfig,
-                   rcfg: RenderConfig, n_points: int, opt):
+def _pose_opt_step_impl(pose_params, opt_state, nerf_params, focal_params, img,
+                        idx, camera_mat, key, lr, pcfg: PoseConfig,
+                        fcfg: Optional[FocalConfig], ncfg: NerfConfig,
+                        rcfg: RenderConfig, n_points: int, opt):
     h, w, _ = img.shape
 
     def loss_fn(pose_params, key):
@@ -85,6 +83,43 @@ def _pose_opt_step(pose_params, opt_state, nerf_params, focal_params, img, idx,
     return pose_params, opt_state, loss, key
 
 
+_pose_opt_step = jax.jit(_pose_opt_step_impl,
+                         static_argnames=("pcfg", "fcfg", "ncfg", "rcfg",
+                                          "n_points", "opt"))
+
+
+@functools.partial(jax.jit, static_argnames=("pcfg", "fcfg", "ncfg", "rcfg",
+                                             "n_points", "opt", "n_eval"))
+def _pose_opt_epochs(pose_params, opt_state, nerf_params, focal_params, imgs,
+                     camera_mat, key, lrs, pcfg: PoseConfig,
+                     fcfg: Optional[FocalConfig], ncfg: NerfConfig,
+                     rcfg: RenderConfig, n_points: int, opt, n_eval: int):
+    """A chunk of pose-opt epochs as ONE lax.scan dispatch (each epoch steps
+    every frame sequentially, reference eval_pose_one_epoch semantics). The
+    reference structure — one dispatch + host sync per frame-step — costs a
+    transport round trip each; scan-fusing takes an opt_pose_epoch=1000 run
+    from ~n_eval x 1000 dispatches to n_epochs/log_every."""
+
+    def epoch_body(carry, lr_e):
+        pose_params, opt_state, key = carry
+
+        def frame_body(i, c):
+            pose_params, opt_state, key, loss_sum = c
+            pose_params, opt_state, loss, key = _pose_opt_step_impl(
+                pose_params, opt_state, nerf_params, focal_params, imgs[i],
+                i, camera_mat, key, lr_e, pcfg, fcfg, ncfg, rcfg, n_points, opt)
+            return (pose_params, opt_state, key, loss_sum + loss)
+
+        pose_params, opt_state, key, loss_sum = jax.lax.fori_loop(
+            0, n_eval, frame_body, (pose_params, opt_state, key,
+                                    jnp.asarray(0.0, jnp.float32)))
+        return (pose_params, opt_state, key), loss_sum / n_eval
+
+    (pose_params, opt_state, key), losses = jax.lax.scan(
+        epoch_body, (pose_params, opt_state, key), lrs)
+    return pose_params, opt_state, key, losses
+
+
 def optimize_test_poses(nerf_params, focal_params, eval_scene,
                         ncfg: NerfConfig, rcfg: RenderConfig,
                         init_c2ws: Optional[np.ndarray] = None,
@@ -105,19 +140,19 @@ def optimize_test_poses(nerf_params, focal_params, eval_scene,
     imgs = jnp.asarray(eval_scene.imgs)
     camera_mat = jnp.asarray(eval_scene.K)
     milestones = list(range(0, n_epochs, max(n_epochs // 5, 1)))
+    lrs = jnp.asarray([lr * (0.5 ** sum(1 for m in milestones if m <= e))
+                       for e in range(n_epochs)], jnp.float32)
 
-    for epoch in range(n_epochs):
-        cur_lr = lr * (0.5 ** sum(1 for m in milestones if m <= epoch))
-        losses = []
-        for i in range(n_eval):
-            pose_params, opt_state, loss, key = _pose_opt_step(
-                pose_params, opt_state, nerf_params, focal_params, imgs[i],
-                jnp.int32(i), camera_mat, key, jnp.asarray(cur_lr, jnp.float32),
-                pcfg, fcfg, ncfg, rcfg, n_points, opt)
-            losses.append(float(loss))
-        if log_every and epoch % log_every == 0:
-            print(f"  pose-opt epoch {epoch}: L2 {np.mean(losses):.4f} "
-                  f"PSNR {float(mse2psnr(np.mean(losses))):.2f}")
+    chunk = max(1, log_every or n_epochs)
+    for start in range(0, n_epochs, chunk):
+        pose_params, opt_state, key, losses = _pose_opt_epochs(
+            pose_params, opt_state, nerf_params, focal_params, imgs,
+            camera_mat, key, lrs[start:start + chunk], pcfg, fcfg, ncfg, rcfg,
+            n_points, opt, n_eval)
+        if log_every:
+            l0 = float(losses[0])
+            print(f"  pose-opt epoch {start}: L2 {l0:.4f} "
+                  f"PSNR {float(mse2psnr(l0)):.2f}")
 
     from ..models.poses import pose_c2w_all
     c2ws = np.asarray(pose_c2w_all(pose_params, pcfg))
