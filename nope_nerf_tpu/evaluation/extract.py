@@ -135,6 +135,7 @@ def render_trajectory(nerf_params, c2ws: np.ndarray, camera_mat, resolution,
     h, w = resolution
     _, pixels_all = pixel_grid((h, w))
     n = h * w
+    chunk = min(chunk, -(-n // 8) * 8)  # don't pad small frames to a full chunk
     pad = (-n) % chunk
     pixels_p = jnp.concatenate([pixels_all, jnp.zeros((pad, 2))], 0)
     ones = jnp.ones((chunk, 1))

@@ -83,11 +83,6 @@ def _pose_opt_step_impl(pose_params, opt_state, nerf_params, focal_params, img,
     return pose_params, opt_state, loss, key
 
 
-_pose_opt_step = jax.jit(_pose_opt_step_impl,
-                         static_argnames=("pcfg", "fcfg", "ncfg", "rcfg",
-                                          "n_points", "opt"))
-
-
 @functools.partial(jax.jit, static_argnames=("pcfg", "fcfg", "ncfg", "rcfg",
                                              "n_points", "opt", "n_eval"))
 def _pose_opt_epochs(pose_params, opt_state, nerf_params, focal_params, imgs,
@@ -100,8 +95,9 @@ def _pose_opt_epochs(pose_params, opt_state, nerf_params, focal_params, imgs,
     transport round trip each; scan-fusing takes an opt_pose_epoch=1000 run
     from ~n_eval x 1000 dispatches to n_epochs/log_every."""
 
-    def epoch_body(carry, lr_e):
-        pose_params, opt_state, key = carry
+    def epoch_body(carry, lr_active):
+        lr_e, active = lr_active
+        pose_params0, opt_state0, key0 = carry
 
         def frame_body(i, c):
             pose_params, opt_state, key, loss_sum = c
@@ -111,9 +107,14 @@ def _pose_opt_epochs(pose_params, opt_state, nerf_params, focal_params, imgs,
             return (pose_params, opt_state, key, loss_sum + loss)
 
         pose_params, opt_state, key, loss_sum = jax.lax.fori_loop(
-            0, n_eval, frame_body, (pose_params, opt_state, key,
+            0, n_eval, frame_body, (pose_params0, opt_state0, key0,
                                     jnp.asarray(0.0, jnp.float32)))
-        return (pose_params, opt_state, key), loss_sum / n_eval
+        # `active` masks the tail padding that keeps every scan chunk the same
+        # length (uniform chunks -> ONE compilation): padded epochs are no-ops.
+        sel = lambda new, old: jax.tree.map(
+            lambda a, b: jnp.where(active, a, b), new, old)
+        return (sel(pose_params, pose_params0), sel(opt_state, opt_state0),
+                key), loss_sum / n_eval
 
     (pose_params, opt_state, key), losses = jax.lax.scan(
         epoch_body, (pose_params, opt_state, key), lrs)
@@ -143,12 +144,16 @@ def optimize_test_poses(nerf_params, focal_params, eval_scene,
     lrs = jnp.asarray([lr * (0.5 ** sum(1 for m in milestones if m <= e))
                        for e in range(n_epochs)], jnp.float32)
 
-    chunk = max(1, log_every or n_epochs)
-    for start in range(0, n_epochs, chunk):
+    chunk = max(1, min(log_every or n_epochs, n_epochs))
+    pad = (-n_epochs) % chunk
+    lrs = jnp.concatenate([lrs, jnp.zeros((pad,), jnp.float32)])
+    active = jnp.arange(n_epochs + pad) < n_epochs
+    for start in range(0, n_epochs + pad, chunk):
         pose_params, opt_state, key, losses = _pose_opt_epochs(
             pose_params, opt_state, nerf_params, focal_params, imgs,
-            camera_mat, key, lrs[start:start + chunk], pcfg, fcfg, ncfg, rcfg,
-            n_points, opt, n_eval)
+            camera_mat, key,
+            (lrs[start:start + chunk], active[start:start + chunk]),
+            pcfg, fcfg, ncfg, rcfg, n_points, opt, n_eval)
         if log_every:
             l0 = float(losses[0])
             print(f"  pose-opt epoch {start}: L2 {l0:.4f} "

@@ -237,56 +237,33 @@ def _render_fwd_kernel(cfg: NerfConfig, dist_alpha: bool, want_aux: bool,
         a_ref[:] = alpha
 
 
-def _render_bwd_kernel(cfg: NerfConfig, dist_alpha: bool, R: int, S: int,
-                       rays_ref, z_ref, *refs):
-    aux = [r[:] for r in refs[:N_AUX]]
-    pe_rows, de_rows = tuple(aux[0:4]), tuple(aux[4:8])
-    ltS, ltT = aux[8], aux[9]
-    W = tuple(w[:] for w in refs[N_AUX:N_AUX + 14])
-    B = tuple(b[:] for b in refs[N_AUX + 14:N_AUX + 26])
-    g_perray_ref = refs[N_AUX + 26]
-    g_w_ref, g_a_ref = refs[N_AUX + 27], refs[N_AUX + 28]
-    dW_refs = refs[N_AUX + 29:N_AUX + 43]
-    dB_refs = refs[N_AUX + 43:N_AUX + 55]
-    drays_ref, gz_ref = refs[N_AUX + 55], refs[N_AUX + 56]
+def _backward_tail(cfg: NerfConfig, dist_alpha: bool, R: int, S: int,
+                   ltT, pe_rows, de_rows, A_pe, dF, vF, pe, de, acts, z_rs,
+                   rgb3, w3, alpha, occ, raw_rs, deltas, trans, weights,
+                   g_rgb_ray, g_dist, g_w_in, g_a_in, white_bg, W,
+                   dW_refs, dB_refs, drays_ref, gz_ref):
+    """Shared composite -> heads -> MLP -> encoding backward chain.
 
+    Used verbatim by _render_bwd_kernel (cotangents arrive as inputs; white
+    background is handled outside the kernel there) and _render_train_kernel
+    (cotangents formed in VMEM; white_bg folds the 1-acc term's gradient in).
+    g_w_in / g_a_in may be None (zero cotangents)."""
     T = R * S
-    rays = rays_ref[:]
-    z_rs = z_ref[:]
-
-    # ---- forward recompute --------------------------------------------------
-    A_pe, dF, vF = _encode_tile(rays, z_rs, R, S, pe_rows, de_rows)
-    pe = _bf16(_lane_select(A_pe, 10, "enc"))
-    de = _de_broadcast(_lane_select(dF, 4, "enc"), R, S)
-    rgb_raw, sig_raw, acts = _fwd_chain(pe, de, W, B)
-    alpha, occ, raw_rs, deltas = _alpha_forward(sig_raw, z_rs, R, S, cfg,
-                                                dist_alpha)
-    trans, weights, _ = _composite_forward(alpha, z_rs, ltS)
-    rgb3 = jax.nn.sigmoid(rgb_raw).reshape(R, S, RAY_DIM)
-    w3 = weights[:, :, None]                                  # (R,S,1)
-
-    @pl.when(pl.program_id(0) == 0)
-    def _():
-        for r in dW_refs:
-            r[:] = jnp.zeros_like(r)
-        for r in dB_refs:
-            r[:] = jnp.zeros_like(r)
-
-    # ---- composite backward -------------------------------------------------
-    g_perray = g_perray_ref[:]                       # (R,128): rgb 0-2, dist 3
     lane128 = jax.lax.broadcasted_iota(jnp.int32, (R, RAY_DIM), 1)
-    g_rgb_ray = jnp.where(lane128 < 3, g_perray, 0.0)         # (R,128)
-    g_dist = g_perray[:, 3:4]                                 # (R,1)
 
     g_rgb_pts3 = jnp.broadcast_to(g_rgb_ray[:, None, :], (R, S, RAY_DIM))
-    # dL/dw from the rgb sum (g_rgb_ray is zero past lane 2) + dist + incoming
-    g_w = (jnp.sum(g_rgb_pts3 * rgb3, axis=2)
-           + g_dist * z_rs + g_w_ref[:])
+    g_w = jnp.sum(g_rgb_pts3 * rgb3, axis=2) + g_dist * z_rs
+    if white_bg:
+        g_w = g_w - jnp.sum(g_rgb_ray, axis=1, keepdims=True)
+    if g_w_in is not None:
+        g_w = g_w + g_w_in
 
     # w = a * exp(c), c = logs @ ltS, logs = log(1 - a + eps)
     g_c = g_w * weights                              # g_trans * trans
     g_logs = _fdot(g_c, ltT)                         # suffix sums
-    g_alpha = g_w * trans - g_logs / (1.0 - alpha + EPSILON) + g_a_ref[:]
+    g_alpha = g_w * trans - g_logs / (1.0 - alpha + EPSILON)
+    if g_a_in is not None:
+        g_alpha = g_alpha + g_a_in
 
     g_z = g_dist * weights                           # dist = sum w*z
     laneS = jax.lax.broadcasted_iota(jnp.int32, (R, S), 1)
@@ -345,6 +322,55 @@ def _render_bwd_kernel(cfg: NerfConfig, dist_alpha: bool, R: int, S: int,
         drays = jnp.where(lane128 == c, col, drays)
     drays_ref[:] = drays
     gz_ref[:] = g_z
+
+
+def _render_bwd_kernel(cfg: NerfConfig, dist_alpha: bool, R: int, S: int,
+                       rays_ref, z_ref, *refs):
+    aux = [r[:] for r in refs[:N_AUX]]
+    pe_rows, de_rows = tuple(aux[0:4]), tuple(aux[4:8])
+    ltS, ltT = aux[8], aux[9]
+    W = tuple(w[:] for w in refs[N_AUX:N_AUX + 14])
+    B = tuple(b[:] for b in refs[N_AUX + 14:N_AUX + 26])
+    g_perray_ref = refs[N_AUX + 26]
+    g_w_ref, g_a_ref = refs[N_AUX + 27], refs[N_AUX + 28]
+    dW_refs = refs[N_AUX + 29:N_AUX + 43]
+    dB_refs = refs[N_AUX + 43:N_AUX + 55]
+    drays_ref, gz_ref = refs[N_AUX + 55], refs[N_AUX + 56]
+
+    T = R * S
+    rays = rays_ref[:]
+    z_rs = z_ref[:]
+
+    # ---- forward recompute --------------------------------------------------
+    A_pe, dF, vF = _encode_tile(rays, z_rs, R, S, pe_rows, de_rows)
+    pe = _bf16(_lane_select(A_pe, 10, "enc"))
+    de = _de_broadcast(_lane_select(dF, 4, "enc"), R, S)
+    rgb_raw, sig_raw, acts = _fwd_chain(pe, de, W, B)
+    alpha, occ, raw_rs, deltas = _alpha_forward(sig_raw, z_rs, R, S, cfg,
+                                                dist_alpha)
+    trans, weights, _ = _composite_forward(alpha, z_rs, ltS)
+    rgb3 = jax.nn.sigmoid(rgb_raw).reshape(R, S, RAY_DIM)
+    w3 = weights[:, :, None]                                  # (R,S,1)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        for r in dW_refs:
+            r[:] = jnp.zeros_like(r)
+        for r in dB_refs:
+            r[:] = jnp.zeros_like(r)
+
+    # ---- composite backward (incoming cotangents; shared tail) --------------
+    g_perray = g_perray_ref[:]                       # (R,128): rgb 0-2, dist 3
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (R, RAY_DIM), 1)
+    g_rgb_ray = jnp.where(lane128 < 3, g_perray, 0.0)         # (R,128)
+    g_dist = g_perray[:, 3:4]                                 # (R,1)
+
+    # white background is applied OUTSIDE this kernel (render_nope_nerf), so
+    # its gradient arrives through g_w_ref — white_bg stays False here.
+    _backward_tail(cfg, dist_alpha, R, S, ltT, pe_rows, de_rows, A_pe, dF, vF,
+                   pe, de, acts, z_rs, rgb3, w3, alpha, occ, raw_rs, deltas,
+                   trans, weights, g_rgb_ray, g_dist, g_w_ref[:], g_a_ref[:],
+                   False, W, dW_refs, dB_refs, drays_ref, gz_ref)
 
 
 def _render_train_kernel(cfg: NerfConfig, dist_alpha: bool, rgb_p: int,
@@ -433,67 +459,11 @@ def _render_train_kernel(cfg: NerfConfig, dist_alpha: bool, rgb_p: int,
     dt = jnp.where(lane128 == TGT_WDEPTH, row_depth, dt)
     dtgt_ref[:] = dt
 
-    # ---- composite backward (== _render_bwd_kernel with zero g_w/g_a in) ----
-    g_rgb_pts3 = jnp.broadcast_to(g_rgb_ray[:, None, :], (R, S, RAY_DIM))
-    g_w = jnp.sum(g_rgb_pts3 * rgb3, axis=2) + g_dist * z_rs
-    if white_bg:
-        g_w = g_w - jnp.sum(g_rgb_ray, axis=1, keepdims=True)
-
-    g_c = g_w * weights
-    g_logs = _fdot(g_c, ltT)
-    g_alpha = g_w * trans - g_logs / (1.0 - alpha + EPSILON)
-
-    g_z = g_dist * weights
-    laneS = jax.lax.broadcasted_iota(jnp.int32, (R, S), 1)
-    if dist_alpha:
-        E = jnp.exp(-occ * deltas)
-        g_apre = jnp.where(laneS == S - 1, 0.0, g_alpha)
-        g_occ = g_apre * deltas * E
-        g_delta = jnp.where(laneS == S - 1, 0.0, g_apre * occ * E)
-        g_z = g_z - g_delta
-        shifted = pltpu.roll(g_delta, 1, 1)
-        g_z = g_z + jnp.where(laneS == 0, 0.0, shifted)
-    else:
-        g_occ = g_alpha
-    if cfg.dist_alpha:
-        g_sigma = g_occ
-    else:
-        g_sigma = g_occ * (1.0 - occ)
-    if cfg.occ_activation == "softplus":
-        g_raw_rs = g_sigma * jax.nn.sigmoid(raw_rs)
-    else:
-        g_raw_rs = g_sigma * (raw_rs > 0.0)
-
-    lane0 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, RAY_DIM), 2) == 0
-    g_sig_raw = jnp.where(lane0, g_raw_rs[:, :, None], 0.0).reshape(T, RAY_DIM)
-    g_rgb_flat = (w3 * g_rgb_pts3).reshape(T, RAY_DIM)
-    rgb_flat = rgb3.reshape(T, RAY_DIM)
-    g_rgb_raw = g_rgb_flat * rgb_flat * (1.0 - rgb_flat)
-
-    dpe, dde = _bwd_chain(pe, de, acts, g_rgb_raw, g_sig_raw, W,
-                          dW_refs, dB_refs)
-
-    dA3 = (dpe * _lane_select(A_pe, 10, "deriv")).reshape(R, S, PE_DIM)
-    dde_r = jnp.sum(dde.reshape(R, S, DE_DIM), axis=1)
-    d_dF = dde_r * _lane_select(dF, 4, "deriv")
-    g_z = g_z + jnp.sum(dA3 * vF[:, None, :], axis=2)
-    d_oF = jnp.sum(dA3, axis=1)
-    d_vF = jnp.sum(z_rs[:, :, None] * dA3, axis=1)
-
-    pe_scale, pe_c0, pe_c1, pe_c2 = pe_rows
-    de_scale, de_c0, de_c1, de_c2 = de_rows
-    cols = []
-    for d_, scale, cms in ((d_oF, pe_scale, (pe_c0, pe_c1, pe_c2)),
-                           (d_vF, pe_scale, (pe_c0, pe_c1, pe_c2)),
-                           (d_dF, de_scale, (de_c0, de_c1, de_c2))):
-        ds = d_ * scale
-        for cm in cms:
-            cols.append(jnp.sum(ds * cm, axis=1, keepdims=True))
-    drays = jnp.zeros((R, RAY_DIM), jnp.float32)
-    for c, col in enumerate(cols):
-        drays = jnp.where(lane128 == c, col, drays)
-    drays_ref[:] = drays
-    gz_ref[:] = g_z
+    # ---- shared backward tail (zero incoming g_w/g_a; white_bg folded in) ---
+    _backward_tail(cfg, dist_alpha, R, S, ltT, pe_rows, de_rows, A_pe, dF, vF,
+                   pe, de, acts, z_rs, rgb3, w3, alpha, occ, raw_rs, deltas,
+                   trans, weights, g_rgb_ray, g_dist, None, None,
+                   white_bg, W, dW_refs, dB_refs, drays_ref, gz_ref)
 
 
 def _ray_tile_spec(cols, rows):

@@ -145,8 +145,10 @@ def _ray_terms(nerf_params, pixels, depth_prior, rgb_gt, prior_mask, camera_mat,
         if axis_name:
             total = jax.lax.psum(total, axis_name)
             sums = jax.lax.psum(sums, axis_name)
-        l_rgb = sums[0] / n_total
-        l_depth = jnp.where(count > 0, sums[1] / jnp.maximum(count, 1.0), 0.0)
+        zero = jnp.asarray(0.0, jnp.float32)
+        l_rgb = sums[0] / n_total if mc.loss.use_rgb else zero
+        l_depth = (jnp.where(count > 0, sums[1] / jnp.maximum(count, 1.0), 0.0)
+                   if mc.loss.use_depth else zero)
         l2_mean = sums[2] / (n_total * 3)
         return l_rgb, l_depth, l2_mean, total
 
@@ -262,6 +264,16 @@ def compute_step_loss(params: Dict[str, Any], batch: Dict[str, jax.Array],
         else:
             from jax.sharding import PartitionSpec as P
 
+            from ..ops.render import fused_train_eligible
+
+            n_dev = mesh.devices.size
+            # Decide the fused path ONCE, from the actual per-shard ray count —
+            # _ray_terms makes the identical check from pixels_s.shape[0], so
+            # the sentinel below can never mask a real total (or vice versa).
+            fused = (lcfg.depth_loss_type == "l1"
+                     and fused_train_eligible(mc.render, mc.nerf,
+                                              pixels.shape[0] // n_dev))
+
             def shard_fn(nerf_params, pixels_s, depth_prior_s, rgb_gt_s, mask_s,
                          camera_mat_r, world_mat_r, keys_s, w_rgb, w_depth):
                 lr, ld, l2, tot = _ray_terms(
@@ -269,12 +281,13 @@ def compute_step_loss(params: Dict[str, Any], batch: Dict[str, jax.Array],
                     mask_s, camera_mat_r, world_mat_r, None,
                     keys_s[0], mc, rgb_loss_type, n_total,
                     axis_name="data",
-                    weights={"rgb_weight": w_rgb, "depth_weight": w_depth})
-                # shard_map outputs can't be None — signal "unfused" with 0.
+                    weights=({"rgb_weight": w_rgb, "depth_weight": w_depth}
+                             if fused else None))
+                # shard_map outputs can't be None — a sentinel stands in when
+                # the unfused path ran (discarded below; `fused` is static).
                 return lr, ld, l2, (tot if tot is not None
                                     else jnp.asarray(0.0, jnp.float32))
 
-            n_dev = mesh.devices.size
             keys = jax.random.split(key, n_dev)
             l_rgb, l_depth, l2_mean, ray_total = jax.shard_map(
                 shard_fn, mesh=mesh,
@@ -286,10 +299,7 @@ def compute_step_loss(params: Dict[str, Any], batch: Dict[str, jax.Array],
               camera_mat, world_mat, keys,
               jnp.asarray(weights["rgb_weight"], jnp.float32),
               jnp.asarray(weights["depth_weight"], jnp.float32))
-            from ..ops.render import fused_train_eligible
-            if not (lcfg.depth_loss_type == "l1"
-                    and fused_train_eligible(mc.render, mc.nerf,
-                                             n_total // n_dev)):
+            if not fused:
                 ray_total = None
         precomputed = {"loss_rgb": l_rgb, "loss_depth": l_depth, "l2_mean": l2_mean}
         if ray_total is not None:
@@ -581,6 +591,10 @@ class Trainer:
 
         _, pixels_all = pixel_grid((h, w))
         n = h * w
+        # Never render more padding than the kernel's 8-ray tile requires: for
+        # frames smaller than `chunk`, a full-chunk pad would render up to 7x
+        # the frame's rays (all trimmed afterwards).
+        chunk = min(chunk, -(-n // 8) * 8)
         pad = (-n) % chunk
         pixels_p = jnp.concatenate(
             [pixels_all, jnp.zeros((pad, 2), pixels_all.dtype)], 0)
@@ -676,6 +690,10 @@ class Trainer:
         camera_mat = batch["camera_mat"]
         _, pixels_all = pixel_grid((h, w))
         n = h * w
+        # Never render more padding than the kernel's 8-ray tile requires: for
+        # frames smaller than `chunk`, a full-chunk pad would render up to 7x
+        # the frame's rays (all trimmed afterwards).
+        chunk = min(chunk, -(-n // 8) * 8)
         pad = (-n) % chunk
         pixels_p = jnp.concatenate([pixels_all, jnp.zeros((pad, 2))], 0)
 
