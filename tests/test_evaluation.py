@@ -179,3 +179,29 @@ def test_scale_alignment():
     aligned, scale = align_scale_c2b_use_a2b(traj_a, traj_b)
     np.testing.assert_allclose(scale, 4.0, rtol=1e-6)
     np.testing.assert_allclose(aligned[:, :3, 3], traj_b[:, :3, 3], atol=1e-8)
+
+
+def test_pose_opt_chunk_padding_is_noop():
+    """optimize_test_poses pads the lr schedule so every scan chunk compiles
+    once; the padded epochs must be true no-ops — the result for n_epochs=7
+    must be identical whether log_every divides it (7) or not (5 -> chunks
+    5+2-padded-to-5)."""
+    from nope_nerf_tpu.config import load_config
+    from nope_nerf_tpu.data import SceneData, make_synthetic_scene
+    from nope_nerf_tpu.evaluation.pose_opt import optimize_test_poses
+    from nope_nerf_tpu.training import ModelConfigs, create_train_state
+
+    scene = SceneData.from_dict(dict(make_synthetic_scene(n_frames=2, h=8, w=12)))
+    cfg = load_config(overrides={"model": {"hidden_dim": 32},
+                                 "rendering": {"num_points": 8}})
+    mc = ModelConfigs.from_cfg(cfg, num_cams=scene.n_frames)
+    state, _ = create_train_state(jax.random.key(0), mc)
+
+    def run(log_every):
+        _, c2ws = optimize_test_poses(
+            state.params["nerf"], None, scene, mc.nerf, mc.render,
+            init_c2ws=np.asarray(scene.c2ws_gt), n_points=16, n_epochs=7,
+            lr=1e-2, log_every=log_every)
+        return c2ws
+
+    np.testing.assert_allclose(run(7), run(5), rtol=0, atol=0)
