@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from .ops.chamfer import chamfer_loss
+from .utils.safemath import safe_norm
 from .ops.ssim import ssim_loss_map
 
 
@@ -120,7 +121,8 @@ def weight_dist_loss(t_list: jax.Array):
     """Trajectory smoothness on camera translations (N, 3)
     (`get_weight_dist_loss`, losses.py:105-114)."""
     dist = t_list - jnp.roll(t_list, 1, axis=0)
-    dist = jnp.linalg.norm(dist[1:], axis=1)          # (N-1,)
+    dist = safe_norm(dist[1:], axis=1)                # (N-1,) — grad-safe:
+    # consecutive identical translations (identity init) are exact zeros
     dist_diff = (dist - jnp.roll(dist, 1))[1:]        # (N-2,)
     return jnp.mean(dist), jnp.mean(dist_diff ** 2)
 
@@ -186,8 +188,8 @@ def depth_consistency_loss(d1_proj: jax.Array, d2: jax.Array,
 
 def t_cycle_loss(rt_pred: jax.Array, rt_gt: jax.Array) -> jax.Array:
     """|| I - rt_gt^-1 @ rt_pred ||_F (`get_t_cycle_loss`, losses.py:161-162)."""
-    return jnp.linalg.norm(jnp.eye(4, dtype=rt_pred.dtype)
-                           - jnp.linalg.inv(rt_gt) @ rt_pred)
+    return safe_norm(jnp.eye(4, dtype=rt_pred.dtype)
+                     - jnp.linalg.inv(rt_gt) @ rt_pred, axis=(0, 1))
 
 
 def compute_losses(cfg: LossConfig,

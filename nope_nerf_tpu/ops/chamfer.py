@@ -19,6 +19,8 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from ..utils.safemath import safe_norm
+
 
 def _pad_to_multiple(x: jax.Array, m: int, fill: float) -> Tuple[jax.Array, int]:
     n = x.shape[0]
@@ -72,7 +74,7 @@ def nearest_dists(src: jax.Array, dst: jax.Array, tile: int = 512) -> jax.Array:
     best_sq, best_idx, _ = carry
     # Exact distance of the matched pair (parity with losses.py:147-149).
     matched = dst_padded[best_idx]
-    return jnp.linalg.norm(src - matched, axis=-1)
+    return safe_norm(src - matched, axis=-1)
 
 
 def _nearest_idx_bidirectional(x: jax.Array, y: jax.Array,
@@ -130,6 +132,8 @@ def chamfer_loss(x: jax.Array, y: jax.Array, tile: int = 512,
         from .pallas_chamfer import nearest_dists_pallas as nd
         return jnp.mean(nd(x, y)) + jnp.mean(nd(y, x))
     idx_xy, idx_yx = _nearest_idx_bidirectional(x, y, tile)
-    d_x = jnp.linalg.norm(x - y[idx_xy], axis=-1)
-    d_y = jnp.linalg.norm(y - x[idx_yx], axis=-1)
+    # safe_norm: exactly-coincident pairs (identity-init poses + quantized
+    # GT depths) otherwise NaN the pose/distortion gradients
+    d_x = safe_norm(x - y[idx_xy], axis=-1)
+    d_y = safe_norm(y - x[idx_yx], axis=-1)
     return jnp.mean(d_x) + jnp.mean(d_y)

@@ -22,6 +22,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..utils.safemath import safe_norm
+
 X_TILE = 512
 Y_CHUNK = 1024
 PAD_COORD = 1e9  # padded dst rows sit astronomically far away
@@ -87,13 +89,13 @@ def _nearest_idx(src: jax.Array, dst: jax.Array) -> Tuple[jax.Array, jax.Array]:
 def nearest_dists_pallas(src: jax.Array, dst: jax.Array) -> jax.Array:
     """Euclidean distance from each src point to its nearest dst point (S,)."""
     _, idx = _nearest_idx(src, dst)
-    return jnp.linalg.norm(src - dst[idx], axis=-1)
+    return safe_norm(src - dst[idx], axis=-1)
 
 
 def _nd_fwd(src, dst):
     _, idx = _nearest_idx(src, dst)
     diff = src - dst[idx]
-    dist = jnp.linalg.norm(diff, axis=-1)
+    dist = safe_norm(diff, axis=-1)
     return dist, (diff, dist, idx, dst.shape[0])
 
 

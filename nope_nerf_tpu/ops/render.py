@@ -27,6 +27,7 @@ from ..geometry.camera import (
     transform_to_world,
 )
 from ..models.nerf import NerfConfig, nerf_apply, nerf_gradient
+from ..utils.safemath import safe_norm
 
 EPSILON = 1e-6  # compositing epsilon, reference model/rendering.py:9
 
@@ -152,7 +153,10 @@ def _ray_geometry(pixels: jax.Array, depth_prior: Optional[jax.Array],
         depth_prior = jnp.ones((n_rays, 1), dtype)
     points_world = transform_to_world(pixels, depth_prior, camera_mat,
                                       world_mat, scale_mat)
-    d_i_src = jnp.linalg.norm(points_world - origin, axis=-1)
+    # safe_norm: sparse-depth priors carry EXACT zeros at invalid pixels;
+    # plain norm's 0/0 gradient there would poison the distortion/pose
+    # grads even though the loss masks those rays (0 * NaN = NaN).
+    d_i_src = safe_norm(points_world - origin, axis=-1)
     if not rcfg.normalise_ray:
         d_i_src = d_i_src / ray_norm  # dist -> depth for guide sampling
 
@@ -343,7 +347,7 @@ def render_nope_nerf(nerf_params: Dict[str, jax.Array],
         pp = jnp.concatenate([surface_points, neigh], axis=0)
         g = nerf_gradient(nerf_params, pp, ncfg)
         normals = g / (jnp.linalg.norm(g, axis=-1, keepdims=True) + 1e-5)
-        normal_diff = jnp.linalg.norm(
+        normal_diff = safe_norm(
             normals[:n_rays] - normals[n_rays:], axis=-1)
 
     if rcfg.white_background:

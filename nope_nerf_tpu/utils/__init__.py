@@ -1,1 +1,2 @@
 from .metrics import mse2psnr, compute_errors
+from .safemath import safe_norm

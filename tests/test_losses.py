@@ -2,6 +2,7 @@
 with torch as oracle where reductions are subtle."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -161,3 +162,25 @@ def test_compute_losses_weighted_total():
 def test_empty_mask_returns_zero():
     got = float(masked_mean(jnp.ones(10), jnp.zeros(10, bool)))
     assert got == 0.0
+
+
+def test_safe_norm_zero_gradient():
+    """Gradients at exact zeros must be 0, not NaN — one coincident Chamfer
+    pair otherwise poisons the whole pose gradient (observed on V-KITTI-format
+    data with identity-initialized poses)."""
+    from nope_nerf_tpu.utils.safemath import safe_norm
+    from nope_nerf_tpu.ops.chamfer import chamfer_loss
+
+    x = jnp.asarray([[0.0, 0.0, 0.0], [1.0, 2.0, 2.0]])
+    np.testing.assert_allclose(np.asarray(safe_norm(x)), [0.0, 3.0])
+    g = jax.grad(lambda x: jnp.sum(safe_norm(x)))(x)
+    assert np.isfinite(np.asarray(g)).all()
+    np.testing.assert_allclose(np.asarray(g[0]), 0.0)
+
+    # Chamfer with EXACT duplicate points across the clouds: finite value+grads
+    a = jnp.asarray([[0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, 2.0, 0.0]])
+    b = jnp.asarray([[0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [5.0, 0.0, 0.0]])
+    val, grads = jax.value_and_grad(chamfer_loss, argnums=(0, 1))(a, b)
+    assert np.isfinite(float(val))
+    for g in grads:
+        assert np.isfinite(np.asarray(g)).all()

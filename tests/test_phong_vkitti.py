@@ -147,3 +147,51 @@ def test_frustum_lines():
     segs = frustum_lines(c2ws, 24, 32, 20.0, 20.0)
     assert segs.shape == (3, 8, 2, 3)
     assert np.isfinite(segs).all()
+
+
+def test_vkitti_emitted_config_trains_and_evals(tmp_path):
+    """Full disk pipeline: raw V-KITTI -> build_scene -> make_configs' emitted
+    train yaml -> cli.train (real DataField loading) -> checkpoint -> pose eval.
+    This is the user journey the reference README documents (get_kittivirtual
+    then train.py <config>), end to end on generated data."""
+    import argparse
+
+    from nope_nerf_tpu.cli.eval_poses import evaluate_poses
+    from nope_nerf_tpu.cli.get_vkitti import build_scene, make_configs, read_extrinsics
+    from nope_nerf_tpu.cli.train import train
+    from nope_nerf_tpu.config import load_config
+
+    root = _write_fake_vkitti(str(tmp_path / "raw"))
+    extr = read_extrinsics(os.path.join(root, "vkitti_1.3.1_extrinsicsgt",
+                                        "0001_clone.txt"))
+    dest = str(tmp_path / "data" / "scene01")
+    resolution = build_scene(root, "1.3.1", "0001", "clone", dest, list(range(6)))
+
+    args = argparse.Namespace(
+        resize_factor=1, customised_poses=False, customised_focal=True,
+        load_colmap_poses=False, with_depth=True, depth_scale=0.01,
+        sparsify_depth=False, sparsify_depth_pattern=[1, 0, 1, 0],
+        noise_mean=0.0, noise_std=0.0, offset_x=0, offset_y=0,
+        learn_pose=True, init_pose=False, learn_focal=False, update_focal=True,
+        learn_distortion=True, simulate_vanilla=False,
+        depth_loss_type="l1", traj_option="bspline", bspline_degree=100)
+    yaml_path = make_configs(dest, args, resolution,
+                             config_dir=str(tmp_path / "configs"))
+
+    cfg = load_config(yaml_path, overrides={
+        "model": {"hidden_dim": 32},
+        "rendering": {"num_points": 8},
+        "training": {"n_training_points": 64, "pc_ratio": 2,
+                     "out_dir": str(tmp_path / "out"),
+                     "print_every": 0, "checkpoint_every": 1,
+                     "backup_every": 0, "visualize_every": 0,
+                     "eval_pose_every": 0, "eval_img_every": 0},
+        "dataloading": {"sample_rate": 6},
+    })
+    state, trainer, scene = train(cfg, max_epochs=2)
+    assert scene.n_frames == 5  # 6 frames minus every-6th test view
+    assert os.path.exists(os.path.join(str(tmp_path / "out"), "model.ckpt"))
+    assert np.isfinite(float(jax.tree.leaves(state.params)[0].sum()))
+
+    metrics = evaluate_poses(cfg)
+    assert np.isfinite(metrics["ate_trans"])
