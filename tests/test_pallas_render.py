@@ -197,3 +197,40 @@ def test_train_fused_ineligible_falls_back():
         RenderConfig(num_points=128, n_importance=8), ncfg, 16)
     assert not fused_train_eligible(
         RenderConfig(num_points=128), NerfConfig(use_pallas=False), 16)
+
+
+def test_train_fused_zero_depth_priors_finite_grads():
+    """Sparse priors carry EXACT zeros at invalid pixels; the fused path's
+    geometry (prior surface distance) must yield finite gradients there
+    (safe_norm) and mask those rays out of the depth loss."""
+    import nope_nerf_tpu.ops.render as Rmod
+    from nope_nerf_tpu.training.trainer import _ray_terms
+    from nope_nerf_tpu.losses import LossConfig
+
+    (params, ncfg, rcfg, pixels, depth_prior, rgb_gt, prior_mask,
+     cam, world) = _train_setup()
+    # exact zeros on the invalid pixels (sparse-depth convention)
+    depth_prior = jnp.where(prior_mask[:, None], depth_prior, 0.0)
+
+    class MC:
+        pass
+
+    mc = MC()
+    mc.nerf, mc.render = ncfg, rcfg
+    mc.detach_gt_depth = False
+    mc.stratified_noise = True
+    mc.loss = LossConfig()
+    weights = {"rgb_weight": jnp.asarray(0.7), "depth_weight": jnp.asarray(0.3)}
+
+    def f(p):
+        l_rgb, l_depth, l2, tot = _ray_terms(
+            p, pixels, depth_prior, rgb_gt, prior_mask, cam, world, None,
+            jax.random.key(3), mc, "l1", pixels.shape[0], weights=weights)
+        return tot, (l_rgb, l_depth)
+
+    with pltpu.force_tpu_interpret_mode():
+        (tot, (l_rgb, l_depth)), grads = jax.value_and_grad(
+            f, has_aux=True)(params)
+    assert np.isfinite(float(tot)) and np.isfinite(float(l_depth))
+    flat, _ = jax.flatten_util.ravel_pytree(grads)
+    assert np.isfinite(np.asarray(flat)).all()
