@@ -223,6 +223,10 @@ def train(cfg: dict, synthetic: bool = False, max_epochs: Optional[int] = None):
     while epoch_it < (scheduling_start + scheduling_epoch):
         epoch_it += 1
         if max_epochs is not None and epoch_it >= max_epochs:
+            # epoch_it now names an epoch that will NOT run — roll it back so
+            # the final checkpoint records the last COMPLETED epoch (otherwise
+            # a resumed run silently skips one epoch).
+            epoch_it -= 1
             break
         l2_epoch = []
         if scan_steps:

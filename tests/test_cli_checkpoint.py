@@ -150,3 +150,28 @@ def test_show_pose_only_exits_with_figure(tmp_path):
     assert os.path.exists(out)
     assert not os.path.exists(os.path.join(cfg["training"]["out_dir"],
                                            "model.ckpt"))
+
+
+def test_resume_is_bit_identical(tmp_path):
+    """Fault-tolerance contract: train 4 epochs straight vs 2 + checkpoint +
+    resume + 2 — the final params and PRNG state must be bit-identical (the
+    epoch shuffles are seeded per epoch; TrainState.rng and the scheduler
+    scalars round-trip through the checkpoint)."""
+    from nope_nerf_tpu.cli.train import train
+
+    cfg_a = _tiny_cfg(tmp_path / "a")
+    cfg_a["training"]["checkpoint_every"] = 1
+    state_a, _, _ = train(cfg_a, synthetic=True, max_epochs=4)
+
+    cfg_b = _tiny_cfg(tmp_path / "b")
+    cfg_b["training"]["checkpoint_every"] = 1
+    train(cfg_b, synthetic=True, max_epochs=2)
+    state_b, _, _ = train(cfg_b, synthetic=True, max_epochs=4)  # resumes
+
+    assert int(state_a.it) == int(state_b.it)
+    for la, lb in zip(jax.tree.leaves(state_a.params),
+                      jax.tree.leaves(state_b.params)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(state_a.rng)),
+        np.asarray(jax.random.key_data(state_b.rng)))
