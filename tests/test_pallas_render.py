@@ -234,3 +234,57 @@ def test_train_fused_zero_depth_priors_finite_grads():
     assert np.isfinite(float(tot)) and np.isfinite(float(l_depth))
     flat, _ = jax.flatten_util.ravel_pytree(grads)
     assert np.isfinite(np.asarray(flat)).all()
+
+
+def test_train_fused_camera_world_grads_match():
+    """Pose/focal learning flows through d(ray table): the fused path's grads
+    wrt camera_mat and world_mat must match the two-kernel path (these carry
+    the entire pose-optimization signal in the train step)."""
+    import nope_nerf_tpu.ops.render as R
+    from nope_nerf_tpu.losses import LossConfig
+    from nope_nerf_tpu.training.trainer import _ray_terms
+
+    (params, ncfg, rcfg, pixels, depth_prior, rgb_gt, prior_mask,
+     cam, world) = _train_setup()
+    # a non-trivial world matrix so rotation grads are exercised
+    from nope_nerf_tpu.geometry.lie import make_c2w
+    world = jnp.linalg.inv(make_c2w(jnp.asarray([0.05, -0.02, 0.03]),
+                                    jnp.asarray([0.1, -0.2, 0.3])))
+
+    class MC:
+        pass
+
+    mc = MC()
+    mc.nerf, mc.render = ncfg, rcfg
+    mc.detach_gt_depth = False
+    mc.stratified_noise = True
+    mc.loss = LossConfig()
+    weights = {"rgb_weight": jnp.asarray(0.7), "depth_weight": jnp.asarray(0.3)}
+
+    def total_of(disable):
+        orig = R.fused_train_eligible
+        if disable:
+            R.fused_train_eligible = lambda *a: False
+        try:
+            def f(cam_w):
+                cam_, world_ = cam_w
+                l_rgb, l_depth, _, tot = _ray_terms(
+                    params, pixels, depth_prior, rgb_gt, prior_mask, cam_,
+                    world_, None, jax.random.key(11), mc, "l2",
+                    pixels.shape[0], weights=weights)
+                if tot is None:
+                    tot = (weights["rgb_weight"] * l_rgb
+                           + weights["depth_weight"] * l_depth)
+                return tot
+            with pltpu.force_tpu_interpret_mode():
+                return jax.grad(f)((cam, world))
+        finally:
+            R.fused_train_eligible = orig
+
+    g_ref = total_of(True)
+    g_fus = total_of(False)
+    for a, b in zip(g_ref, g_fus):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-12
+        np.testing.assert_allclose(np.asarray(b) / scale, np.asarray(a) / scale,
+                                   atol=5e-5)
+        assert float(jnp.max(jnp.abs(a))) > 0  # the signal actually exists
