@@ -195,3 +195,44 @@ def test_vkitti_emitted_config_trains_and_evals(tmp_path):
 
     metrics = evaluate_poses(cfg)
     assert np.isfinite(metrics["ate_trans"])
+
+
+def test_vkitti_degraded_depth_pipeline_trains_finite(tmp_path):
+    """The thesis's experiment matrix degrades the GT depth priors (sparsify /
+    noise / camera-LiDAR offset — reference configs d1-d14). The emitted config
+    with all three enabled must load, train with the sparse-validity resample
+    path active, and stay finite."""
+    import argparse
+
+    from nope_nerf_tpu.cli.get_vkitti import build_scene, make_configs
+    from nope_nerf_tpu.cli.train import train
+    from nope_nerf_tpu.config import load_config
+
+    root = _write_fake_vkitti(str(tmp_path / "raw"))
+    dest = str(tmp_path / "data" / "scene02")
+    resolution = build_scene(root, "1.3.1", "0001", "clone", dest, list(range(6)))
+    args = argparse.Namespace(
+        resize_factor=1, customised_poses=False, customised_focal=True,
+        load_colmap_poses=False, with_depth=True, depth_scale=0.01,
+        sparsify_depth=True, sparsify_depth_pattern=[2, 0, 2, 0],
+        noise_mean=0.0, noise_std=0.05, offset_x=1, offset_y=1,
+        learn_pose=True, init_pose=False, learn_focal=False, update_focal=True,
+        learn_distortion=True, simulate_vanilla=False,
+        depth_loss_type="l1", traj_option="bspline", bspline_degree=100)
+    yaml_path = make_configs(dest, args, resolution,
+                             config_dir=str(tmp_path / "configs"))
+    cfg = load_config(yaml_path, overrides={
+        "model": {"hidden_dim": 32},
+        "rendering": {"num_points": 8},
+        "training": {"n_training_points": 64, "pc_ratio": 2,
+                     "out_dir": str(tmp_path / "out"),
+                     "print_every": 0, "checkpoint_every": 0,
+                     "backup_every": 0, "visualize_every": 0,
+                     "eval_pose_every": 0, "eval_img_every": 0},
+        "dataloading": {"sample_rate": 6},
+    })
+    state, trainer, scene = train(cfg, max_epochs=3)
+    masks = np.asarray(scene.depth_masks)
+    assert masks.any() and not masks.all()  # sparsified: mixed validity
+    for leaf in jax.tree.leaves(state.params):
+        assert np.isfinite(np.asarray(leaf)).all()
