@@ -87,6 +87,10 @@ def train(cfg: dict, synthetic: bool = False, max_epochs: Optional[int] = None):
     if cfg["pose"]["learn_pose"] and cfg["pose"]["init_pose"]:
         src = (scene.c2ws_gt if cfg["pose"]["init_pose_type"] == "gt"
                else scene.c2ws_init)
+        if src is None:  # e.g. init_pose_type=colmap on a scene without COLMAP poses
+            print("init_pose_type=colmap but scene has no COLMAP poses; "
+                  "initializing from GT poses instead")
+            src = scene.c2ws_gt
         init_c2w = jnp.asarray(src)
     init_focal = None
     if cfg["pose"]["learn_focal"] and cfg["pose"]["init_focal_type"] == "gt":
