@@ -64,6 +64,38 @@ def test_disk_round_trip(disk_scene):
     assert np.allclose(gt_metric, scene["c2ws_gt"], atol=1e-4)
 
 
+def test_full_cli_chain_on_disk(disk_scene, tmp_path):
+    """train -> eval_poses -> eval -> render, all through the ON-DISK data path
+    (every other CLI test uses --synthetic). Tiny shapes; unfused CPU render."""
+    from nope_nerf_tpu.cli.eval import evaluate
+    from nope_nerf_tpu.cli.eval_poses import evaluate_poses
+    from nope_nerf_tpu.cli.render import render
+    from nope_nerf_tpu.cli.train import train
+
+    root, _ = disk_scene
+    overrides = {
+        "dataloading": {"path": str(root)},
+        "rendering": {"num_points": 16},
+        "training": {"out_dir": str(tmp_path / "out"), "n_training_points": 64,
+                     "eval_pose_every": -1, "eval_img_every": -1,
+                     "vis_geo": False},
+        "eval_pose": {"opt_pose_epoch": 4, "n_points": 64},
+        "extract_images": {"N_novel_imgs": 3, "resolution": [16, 24],
+                           "eval_depth": True},
+        "tpu": {"use_pallas_renderer": False},
+    }
+    cfg = load_config(os.path.join(REPO, "configs", "demo_drive.yaml"),
+                      overrides=overrides)
+    state, _, _ = train(cfg, max_epochs=2)
+    assert os.path.exists(os.path.join(cfg["training"]["out_dir"], "model.ckpt"))
+    metrics = evaluate_poses(cfg)
+    assert np.isfinite(metrics["ate_trans"])
+    summary = evaluate(cfg)
+    assert np.isfinite(summary["mean_psnr"]) and np.isfinite(summary["abs_rel"])
+    frames = render(cfg)
+    assert len(frames) == 3
+
+
 def test_colmap_init_noise(disk_scene):
     root, scene = disk_scene
     cfg = load_config(os.path.join(REPO, "configs", "demo_drive.yaml"),
