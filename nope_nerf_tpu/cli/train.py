@@ -87,9 +87,17 @@ def train(cfg: dict, synthetic: bool = False, max_epochs: Optional[int] = None):
     if cfg["pose"]["learn_pose"] and cfg["pose"]["init_pose"]:
         src = (scene.c2ws_gt if cfg["pose"]["init_pose_type"] == "gt"
                else scene.c2ws_init)
-        if src is None:  # e.g. init_pose_type=colmap on a scene without COLMAP poses
-            print("init_pose_type=colmap but scene has no COLMAP poses; "
-                  "initializing from GT poses instead")
+        if src is None:
+            # Synthetic scenes have no COLMAP reconstruction by construction, so
+            # GT init is the only option. On a real scene a missing init is a
+            # config error — silently substituting GT would make a pose-
+            # refinement experiment (d7/d8-style) trivially degenerate.
+            if not synthetic:
+                raise ValueError(
+                    "pose.init_pose_type=colmap but the scene has no COLMAP "
+                    "poses (dataloading.load_colmap_poses is off?); set "
+                    "init_pose_type=gt explicitly if GT init is intended")
+            print("synthetic scene: init_pose_type=colmap falls back to GT init")
             src = scene.c2ws_gt
         init_c2w = jnp.asarray(src)
     init_focal = None

@@ -18,6 +18,7 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
+from ..geometry.camera import intrinsics_ndc_np
 from .degrade import offset_depths, sparsify_depths
 from .llff import (
     load_depths_npz,
@@ -69,10 +70,7 @@ class DataField:
             fx, fy = w, h  # no focal provided: image size default (dataset.py:77-78)
 
         self.H, self.W, self.focal = h, w, fx
-        self.K = np.array([[2 * fx / w, 0, 0, 0],
-                           [0, -2 * fy / h, 0, 0],
-                           [0, 0, -1, 0],
-                           [0, 0, 0, 1]], np.float32)
+        self.K = intrinsics_ndc_np(fx, fy, w, h)
 
         # train/test split (dataset.py:87-93)
         ids = np.arange(n)

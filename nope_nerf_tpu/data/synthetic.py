@@ -16,14 +16,7 @@ from typing import Dict
 
 import numpy as np
 
-def _intrinsics_ndc_np(fx: float, fy: float, w: int, h: int) -> np.ndarray:
-    """Host-side copy of geometry.camera.intrinsics_ndc (dataset.py:83-86's K):
-    scene generation must not touch jax — materializing a device array here would
-    initialize the TPU backend just to build a 4x4 constant."""
-    return np.array([[2.0 * fx / w, 0, 0, 0],
-                     [0, -2.0 * fy / h, 0, 0],
-                     [0, 0, -1, 0],
-                     [0, 0, 0, 1]], np.float32)
+from ..geometry.camera import intrinsics_ndc_np as _intrinsics_ndc_np
 
 
 def _texture(x: np.ndarray, y: np.ndarray) -> np.ndarray:
@@ -179,7 +172,7 @@ def write_vkitti_scene(dest: str, scene: Dict[str, np.ndarray],
         name = f"{i:05d}.png"
         bgr = np.clip(imgs[i][..., ::-1] * 255.0, 0, 255).astype(np.uint8)
         cv2.imwrite(os.path.join(dest, "images", name), bgr)
-        depth_cm = np.clip(depths[i] * 100.0, 0, 65535).astype(np.uint16)
+        depth_cm = np.clip(np.round(depths[i] * 100.0), 0, 65535).astype(np.uint16)
         cv2.imwrite(os.path.join(dest, "depth", name), depth_cm)
 
         dmin, dmax = float(depths[i].min()), float(depths[i].max())

@@ -67,6 +67,17 @@ def intrinsics_ndc(fx: float, fy: float, w: int, h: int) -> jnp.ndarray:
                                     jnp.asarray(2.0 * fy / h, jnp.float32))
 
 
+def intrinsics_ndc_np(fx: float, fy: float, w: int, h: int) -> "np.ndarray":
+    """Host-side numpy twin of intrinsics_ndc, for the data layer (scene loading
+    and generation must not materialize device arrays — that would block on TPU
+    backend init just to build a 4x4 constant)."""
+    import numpy as np
+    return np.array([[2.0 * fx / w, 0, 0, 0],
+                     [0, -2.0 * fy / h, 0, 0],
+                     [0, 0, -1, 0],
+                     [0, 0, 0, 1]], np.float32)
+
+
 def _compose_cam_to_world(camera_mat: jax.Array, world_mat: jax.Array,
                           scale_mat: Optional[jax.Array], invert: bool) -> jax.Array:
     """P such that p_world_h = P @ p_cam_h. With invert=True (the training path),

@@ -55,9 +55,9 @@ def test_disk_round_trip(disk_scene):
     # preprocessing rescale (sc, and sc_spherify since spherify defaults on).
     factor = sd.reverse["sc"] * (sd.reverse.get("sc_spherify") or 1.0)
     metric_depth = np.asarray(sd.depths) / factor
-    assert np.abs(metric_depth - scene["depths"]).max() < 0.011  # cm quantization
+    assert np.abs(metric_depth - scene["depths"]).max() < 0.0051  # rounded cm
     # the clean eval copy (gt_depths) is loaded without the rescale: raw metres
-    assert np.abs(np.asarray(sd.gt_depths) - scene["depths"]).max() < 0.011
+    assert np.abs(np.asarray(sd.gt_depths) - scene["depths"]).max() < 0.0051
 
     # poses: revert_to_metric must undo swizzle+rescale+recenter exactly
     gt_metric = revert_to_metric(np.asarray(sd.c2ws_gt), sd.reverse)
