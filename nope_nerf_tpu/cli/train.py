@@ -20,13 +20,21 @@ import numpy as np
 logger_py = logging.getLogger(__name__)
 
 
-def backup(out_dir: str, config_path: Optional[str]) -> None:
-    """Config snapshot into out_dir/backup (reference `backup`, common.py:492-506 —
-    source files live in git here, so only the resolved config is copied)."""
+def backup(out_dir: str, config_path: Optional[str],
+           snapshot_source: bool = True) -> None:
+    """Config + source snapshot into out_dir/backup (reference `backup`,
+    common.py:492-506: it copies train.py, configs/default.yaml, model/ and
+    dataloading/; here the whole nope_nerf_tpu package is snapshotted so a run
+    directory is self-describing even when the working tree moves on)."""
     backup_path = os.path.join(out_dir, "backup")
     os.makedirs(backup_path, exist_ok=True)
     if config_path and os.path.exists(config_path):
         shutil.copyfile(config_path, os.path.join(backup_path, "config.yaml"))
+    if snapshot_source:
+        pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        dest = os.path.join(backup_path, os.path.basename(pkg_root))
+        shutil.copytree(pkg_root, dest, dirs_exist_ok=True,
+                        ignore=shutil.ignore_patterns("__pycache__", "*.pyc"))
 
 
 def build_scene(cfg: dict, synthetic: bool):

@@ -175,3 +175,20 @@ def test_resume_is_bit_identical(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(jax.random.key_data(state_a.rng)),
         np.asarray(jax.random.key_data(state_b.rng)))
+
+
+def test_backup_snapshots_config_and_source(tmp_path):
+    """backup() copies the scene config AND the package source into
+    out_dir/backup (reference common.py:492-506 snapshots train.py + model/ +
+    dataloading/; here the whole package tree)."""
+    import os
+
+    from nope_nerf_tpu.cli.train import backup
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    backup(str(tmp_path), os.path.join(repo, "configs", "demo_drive.yaml"))
+    bk = tmp_path / "backup"
+    assert (bk / "config.yaml").exists()
+    assert (bk / "nope_nerf_tpu" / "cli" / "train.py").exists()
+    assert (bk / "nope_nerf_tpu" / "ops" / "pallas_render.py").exists()
+    assert not list((bk / "nope_nerf_tpu").rglob("__pycache__"))
