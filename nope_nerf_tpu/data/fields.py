@@ -21,6 +21,7 @@ import numpy as np
 from ..geometry.camera import intrinsics_ndc_np
 from .degrade import offset_depths, sparsify_depths
 from .llff import (
+    crop_factors,
     load_depths_npz,
     load_gt_depths,
     load_llff_data,
@@ -46,17 +47,22 @@ class DataField:
         load_dir = os.path.join(model_path, scene_name[0])
         self.load_dir = load_dir
         rng = np.random.RandomState(seed)
+        if crop_size != 0:  # DPT priors computed on cropped images (dataset.py:56-57)
+            depth_net = f"{depth_net}_{crop_size}"
+        crop_ratio, focal_crop_factor = crop_factors(load_dir, crop_size)
 
         c2ws_colmap = None
         self.reverse_init = None
         if load_colmap_poses:
             poses, bds, imgs, img_names = load_llff_data(
-                load_dir, factor=resize_factor, load_gt_llff=False)
+                load_dir, factor=resize_factor, load_gt_llff=False,
+                crop_size=crop_size)
             c2ws_colmap, H, W, focal, self.reverse_init, _ = make_c2ws_from_llff(
                 poses, bds, spherify, bd_factor)
         else:
             _, _, imgs, img_names = load_llff_data(
-                load_dir, factor=resize_factor, load_gt_llff=True)
+                load_dir, factor=resize_factor, load_gt_llff=True,
+                crop_size=crop_size)
             focal = None
 
         n, h, w, _ = imgs.shape
@@ -68,6 +74,8 @@ class DataField:
             fx = fy = focal
         else:
             fx, fy = w, h  # no focal provided: image size default (dataset.py:77-78)
+        # crop+resize zooms in: focal grows by 1/focal_crop_factor (dataset.py:79-80)
+        fx, fy = fx / focal_crop_factor, fy / focal_crop_factor
 
         self.H, self.W, self.focal = h, w, fx
         self.K = intrinsics_ndc_np(fx, fy, w, h)
@@ -107,7 +115,8 @@ class DataField:
         if os.path.isdir(os.path.join(load_dir, "depth")):
             gt_depth, _ = load_gt_depths(self.img_list, load_dir,
                                          depth_scale=depth_scale, H=h, W=w,
-                                         remove_sky=(mode == "eval"), rng=rng)
+                                         remove_sky=(mode == "eval"), rng=rng,
+                                         crop_ratio=crop_ratio)
 
         # depth priors
         if not use_DPT and not with_depth:
@@ -119,7 +128,7 @@ class DataField:
             depths, masks = load_gt_depths(
                 self.img_list, load_dir, depth_scale=depth_scale, H=h, W=w,
                 reverse=self.reverse_gt, noise_mean=noise_mean, noise_std=noise_std,
-                remove_sky=remove_sky, rng=rng)
+                remove_sky=remove_sky, rng=rng, crop_ratio=crop_ratio)
             if offset_x or offset_y:
                 depths, masks = offset_depths(depths, masks, offset_y, offset_x)
             if sparsify_depth:

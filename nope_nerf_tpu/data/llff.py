@@ -140,14 +140,19 @@ def make_c2ws_from_llff(poses: np.ndarray, bds: np.ndarray, spherify: bool,
 
 
 def load_llff_data(basedir: str, factor: Optional[int] = None,
-                   load_gt_llff: bool = False, load_imgs: bool = True):
+                   load_gt_llff: bool = False, load_imgs: bool = True,
+                   crop_size: int = 0):
     """Read poses_bounds.npy / poses_gt.npy + the image directory.
 
     Parity with `_load_data` (dataloading/common.py:82-174): LLFF rows are 3x5
     matrices [R|t|hwf] column-stacked; the last two floats per row are depth bounds.
     Minified image sets (images_{factor}/) are generated on demand with cv2 area
-    resampling. Returns (poses (3,5,N), bds (2,N), imgs (N,H,W,3) float [0,1],
-    img_names).
+    resampling. With crop_size != 0 (black-border removal, common.py:96-114) an
+    images_cropped/ set is generated first: crop_size rows (and crop_size*W/H
+    columns) are cut from each border and the result is resized back to (W, H);
+    minification then applies to the cropped set. Returns (poses (3,5,N),
+    bds (2,N), imgs (N,H,W,3) float [0,1], img_names) — use `crop_factors` for
+    the (crop_ratio, focal_crop_factor) pair of a crop_size.
     """
     import cv2
 
@@ -159,12 +164,27 @@ def load_llff_data(basedir: str, factor: Optional[int] = None,
     img_dir = os.path.join(basedir, "images")
     exts = (".jpg", ".jpeg", ".png", ".JPG", ".PNG")
     names = sorted(f for f in os.listdir(img_dir) if f.endswith(exts))
+    if crop_size != 0 and names:
+        crop_dir = os.path.join(basedir, "images_cropped")
+        if not os.path.isdir(crop_dir) or len(os.listdir(crop_dir)) < len(names):
+            os.makedirs(crop_dir, exist_ok=True)
+            for f in names:
+                img = cv2.imread(os.path.join(img_dir, f), cv2.IMREAD_COLOR)
+                h0, w0 = img.shape[:2]
+                ch, cw = crop_size, int(crop_size * w0 / h0)
+                cropped = img[ch:h0 - ch, cw:w0 - cw]
+                # resized back to the original size (common.py:110-111)
+                cv2.imwrite(os.path.join(crop_dir, f),
+                            cv2.resize(cropped, (w0, h0),
+                                       interpolation=cv2.INTER_LINEAR))
+        img_dir = crop_dir
+        names = sorted(f for f in os.listdir(img_dir) if f.endswith(exts))
     if not names:
         raise FileNotFoundError(f"no images under {img_dir}")
 
     factor = factor or 1
     if factor != 1:
-        min_dir = os.path.join(basedir, f"images_{factor}")
+        min_dir = f"{img_dir}_{factor}"  # images_{f} or images_cropped_{f}
         if not os.path.isdir(min_dir) or len(os.listdir(min_dir)) < len(names):
             os.makedirs(min_dir, exist_ok=True)
             for f in names:
@@ -193,11 +213,25 @@ def load_llff_data(basedir: str, factor: Optional[int] = None,
     return poses, bds, imgs, names
 
 
+def crop_factors(basedir: str, crop_size: int) -> Tuple[float, float]:
+    """(crop_ratio, focal_crop_factor) for a border crop (common.py:112-114):
+    crop_ratio = crop_size/H_orig drives the matching depth-map crop;
+    focal_crop_factor = (H-2*crop)/H rescales the focal (crop+resize zooms in)."""
+    if crop_size == 0:
+        return 1.0, 1.0
+    import cv2
+    img_dir = os.path.join(basedir, "images")
+    name = sorted(os.listdir(img_dir))[0]
+    h0 = cv2.imread(os.path.join(img_dir, name), cv2.IMREAD_COLOR).shape[0]
+    return crop_size / h0, (h0 - 2 * crop_size) / h0
+
+
 def load_gt_depths(image_list: List[str], datadir: str, depth_scale: float = 1.0,
                    H: Optional[int] = None, W: Optional[int] = None,
                    reverse: Optional[Dict] = None, noise_mean: float = 0.0,
                    noise_std: float = 0.0, remove_sky: bool = False,
-                   rng: Optional[np.random.RandomState] = None
+                   rng: Optional[np.random.RandomState] = None,
+                   crop_ratio: float = 1.0
                    ) -> Tuple[np.ndarray, np.ndarray]:
     """16-bit depth PNGs -> metric depths (+ validity masks), with the reference's
     degradation pipeline (dataloading/common.py:268-312): px->m conversion, additive
@@ -226,6 +260,13 @@ def load_gt_depths(image_list: List[str], datadir: str, depth_scale: float = 1.0
             if reverse.get("sc_spherify") is not None:
                 depth *= reverse["sc_spherify"]
                 factor *= reverse["sc_spherify"]
+
+        if crop_ratio != 1.0:
+            # match the border crop applied to the images (common.py:293-297);
+            # the H/W resize below restores the full resolution
+            dh, dw = depth.shape
+            ch, cw = int(dh * crop_ratio), int(dw * crop_ratio)
+            depth = depth[ch:dh - ch, cw:dw - cw]
 
         if remove_sky:
             depth[depth > (600 * factor)] = 0

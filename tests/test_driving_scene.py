@@ -96,6 +96,41 @@ def test_full_cli_chain_on_disk(disk_scene, tmp_path):
     assert len(frames) == 3
 
 
+def test_crop_size_pipeline(disk_scene):
+    """crop_size: images border-cropped then resized back (images_cropped/),
+    focal scaled by 1/focal_crop_factor, GT depths cropped to match
+    (reference common.py:96-114, :293-297, dataset.py:56-57,79-80)."""
+    root, scene = disk_scene
+    crop = 4
+    n, h, w = scene["depths"].shape
+    cfg = load_config(os.path.join(REPO, "configs", "demo_drive.yaml"),
+                      overrides={"dataloading": {"path": str(root),
+                                                 "crop_size": crop}})
+    field = DataField.from_cfg(cfg, mode="all")
+    sd = field.scene
+    assert os.path.isdir(os.path.join(root, "drive", "images_cropped"))
+    assert sd.imgs.shape == (n, h, w, 3)  # resized back to original size
+
+    # focal zoom: fx' = fx / ((h - 2*crop)/h)
+    fx_expected = float(scene["fx"]) / ((h - 2 * crop) / h)
+    fx_loaded = float(sd.K[0, 0]) * w / 2.0
+    assert abs(fx_loaded - fx_expected) < 1e-3
+
+    # depth priors: border content is gone — the loaded (cropped+resized) depth
+    # at the image centre still matches the scene's centre depth
+    factor = sd.reverse["sc"] * (sd.reverse.get("sc_spherify") or 1.0)
+    centre = np.asarray(sd.depths)[0, h // 2, w // 2] / factor
+    assert abs(centre - scene["depths"][0, h // 2, w // 2]) < 0.35
+
+    # DPT prior dir would get the _<crop> suffix
+    cfg2 = load_config(os.path.join(REPO, "configs", "demo_drive.yaml"),
+                       overrides={"dataloading": {"path": str(root),
+                                                  "crop_size": crop,
+                                                  "with_depth": False}})
+    with pytest.raises(FileNotFoundError, match=f"dpt_{crop}"):
+        DataField.from_cfg(cfg2, mode="all")
+
+
 def test_colmap_init_noise(disk_scene):
     root, scene = disk_scene
     cfg = load_config(os.path.join(REPO, "configs", "demo_drive.yaml"),
