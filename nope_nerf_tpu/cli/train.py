@@ -200,6 +200,14 @@ def train(cfg: dict, synthetic: bool = False, max_epochs: Optional[int] = None):
                 os.path.join(vis_dir, "depth.png"),
                 np.clip(255.0 / max(d.max(), 1e-6) * (d - d.min()), 0,
                         255).astype(np.uint8))
+            if t_cfg["vis_geo"]:
+                # phong geometry view (reference render_visdata's vis_geo
+                # branch, training.py:146-163)
+                geo = trainer.render_geo(st, vis_batch,
+                                         tuple(t_cfg["vis_resolution"]),
+                                         radius=cfg["rendering"]["radius"])
+                imageio.imwrite(os.path.join(vis_dir, "geo.png"),
+                                (np.clip(geo, 0, 1) * 255).astype(np.uint8))
 
         if validate_every > 0 and itj % validate_every == 0:
             # render the held-out vis frame and log PSNR (reference

@@ -192,3 +192,20 @@ def test_backup_snapshots_config_and_source(tmp_path):
     assert (bk / "nope_nerf_tpu" / "cli" / "train.py").exists()
     assert (bk / "nope_nerf_tpu" / "ops" / "pallas_render.py").exists()
     assert not list((bk / "nope_nerf_tpu").rglob("__pycache__"))
+
+
+def test_visualize_hook_writes_rgb_depth_geo(tmp_path):
+    """The periodic visualization hook writes rgb/depth and, with vis_geo on,
+    the phong geometry view (reference render_visdata, training.py:103-163)."""
+    import glob
+
+    from nope_nerf_tpu.cli.train import train
+
+    cfg = _tiny_cfg(tmp_path, training={"visualize_every": 10,
+                                        "vis_resolution": [10, 12],
+                                        "vis_geo": True})
+    train(cfg, synthetic=True, max_epochs=2)
+    vis_dirs = glob.glob(str(tmp_path / "out" / "rendering" / "*_vis"))
+    assert vis_dirs, "no visualization dumps written"
+    for name in ("rgb.png", "depth.png", "geo.png"):
+        assert os.path.exists(os.path.join(vis_dirs[0], name)), name
