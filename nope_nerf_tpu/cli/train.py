@@ -257,6 +257,7 @@ def train(cfg: dict, synthetic: bool = False, max_epochs: Optional[int] = None):
             epoch_it -= 1
             break
         l2_epoch = []
+        trainer.update_occupancy(state, epoch_it)  # no-op unless enabled
         if scan_steps:
             order, refs = epoch_order(scene.n_frames,
                                       shuffle=cfg["dataloading"]["shuffle"],

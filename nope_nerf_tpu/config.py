@@ -74,6 +74,14 @@ DEFAULTS: Dict[str, Any] = {
         # TPU-build extension: hierarchical importance samples per ray (0 = off,
         # reference parity)
         "n_importance": 0,
+        # TPU-build extension: occupancy-grid guided sampling (ops/occupancy.py).
+        # Redistributes the fixed per-ray sample budget toward occupied cells;
+        # off by default (reference parity).
+        "occupancy_grid": False,
+        "occupancy_res": 64,
+        "occupancy_decay": 0.95,
+        "occupancy_floor": 0.01,
+        "occupancy_update_every": 1,  # epochs between EMA grid updates
     },
     "depth": {
         "type": None,

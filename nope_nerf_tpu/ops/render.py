@@ -47,6 +47,10 @@ class RenderConfig:
     # coarse weight distribution. 0 = off (reference parity — the reference has no
     # hierarchical sampler; this is a TPU-build extension per the north star).
     n_importance: int = 0
+    # Occupancy-grid guided sampling (ops/occupancy.py; static params — the grid
+    # itself is a runtime array threaded as `occ_grid`).
+    occ_radius: float = 4.0
+    occ_floor: float = 0.01
 
     @classmethod
     def from_cfg(cls, cfg: dict) -> "RenderConfig":
@@ -60,7 +64,9 @@ class RenderConfig:
                    normalise_ray=r["normalise_ray"],
                    normal_loss=r["normal_loss"],
                    sample_option=r["sample_option"],
-                   n_importance=r.get("n_importance", 0))
+                   n_importance=r.get("n_importance", 0),
+                   occ_radius=r.get("radius", 4.0),
+                   occ_floor=r.get("occupancy_floor", 0.01))
 
 
 def sample_uniform(key: Optional[jax.Array], n_rays: int, steps: int,
@@ -140,7 +146,8 @@ def composite(rgb: jax.Array, alpha: jax.Array,
 def _ray_geometry(pixels: jax.Array, depth_prior: Optional[jax.Array],
                   camera_mat: jax.Array, world_mat: jax.Array,
                   scale_mat: Optional[jax.Array], key: Optional[jax.Array],
-                  rcfg: RenderConfig, add_noise: bool) -> Dict[str, jax.Array]:
+                  rcfg: RenderConfig, add_noise: bool,
+                  occ_grid: Optional[jax.Array] = None) -> Dict[str, jax.Array]:
     """Pre-MLP ray work shared by render_nope_nerf and the train-fused loss
     path (identical RNG stream and numerics): ray gen, prior-depth surface
     distance + masks (rendering.py:53-65), z sampling (stratified or NDC)."""
@@ -177,6 +184,11 @@ def _ray_geometry(pixels: jax.Array, depth_prior: Optional[jax.Array],
         ndc_o, ndc_d = get_ndc_rays_fxfy(fxfy, 1.0, origin[None, :], ray_vec)
         z_val = jnp.broadcast_to(jnp.linspace(0.0, 1.0, fg_steps, dtype=dtype),
                                  (n_rays, fg_steps))
+    elif occ_grid is not None:
+        from .occupancy import occupancy_z_samples
+        z_val = occupancy_z_samples(knoise, origin, ray_vec, occ_grid, fg_steps,
+                                    rcfg.depth_range, rcfg.occ_radius,
+                                    rcfg.occ_floor, add_noise, dtype)
     else:
         z_val = sample_uniform(knoise, n_rays, fg_steps, rcfg.depth_range,
                                add_noise, dtype)
@@ -199,14 +211,15 @@ def fused_train_eligible(rcfg: RenderConfig, ncfg: NerfConfig,
 def fused_train_prepare(pixels: jax.Array, depth_prior: Optional[jax.Array],
                         camera_mat: jax.Array, world_mat: jax.Array,
                         scale_mat: Optional[jax.Array], key: Optional[jax.Array],
-                        rcfg: RenderConfig, ncfg: NerfConfig, add_noise: bool):
+                        rcfg: RenderConfig, ncfg: NerfConfig, add_noise: bool,
+                        occ_grid: Optional[jax.Array] = None):
     """Geometry for the train-fused kernel: (ray_table (N,128), z (N,S),
     depth_gt (N,) in loss space, object_mask (N,) bool). Numerically identical
     (same RNG stream) to what render_nope_nerf would feed render_rays_fused."""
     from .pallas_render import pack_rays
 
     geo = _ray_geometry(pixels, depth_prior, camera_mat, world_mat, scale_mat,
-                        key, rcfg, add_noise)
+                        key, rcfg, add_noise, occ_grid=occ_grid)
     if rcfg.use_ray_dir:
         mlp_dir = -geo["ray_vec"]
     else:
@@ -232,7 +245,8 @@ def render_nope_nerf(nerf_params: Dict[str, jax.Array],
                      ncfg: NerfConfig,
                      add_noise: bool = True,
                      eval_: bool = False,
-                     need_aux: bool = True) -> Dict[str, jax.Array]:
+                     need_aux: bool = True,
+                     occ_grid: Optional[jax.Array] = None) -> Dict[str, jax.Array]:
     """Render N rays of one frame. Returns a dict of full arrays + masks.
 
     need_aux=False (eval/vis renders) skips materializing the (N,S)
@@ -248,7 +262,7 @@ def render_nope_nerf(nerf_params: Dict[str, jax.Array],
     dtype = pixels.dtype
 
     geo = _ray_geometry(pixels, depth_prior, camera_mat, world_mat, scale_mat,
-                        key, rcfg, add_noise)
+                        key, rcfg, add_noise, occ_grid=occ_grid)
     origin, ray_vec, ray_norm = geo["origin"], geo["ray_vec"], geo["ray_norm"]
     d_i_src, dists, object_mask = geo["d_i_src"], geo["dists"], geo["object_mask"]
     z_val, ndc_o, ndc_d = geo["z_val"], geo["ndc_o"], geo["ndc_d"]

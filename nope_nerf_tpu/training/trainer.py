@@ -94,7 +94,8 @@ def _apply_distortion(depth: jax.Array, scale: jax.Array, shift: jax.Array,
 def _ray_terms(nerf_params, pixels, depth_prior, rgb_gt, prior_mask, camera_mat,
                world_mat, scale_mat, key, mc: ModelConfigs, rgb_loss_type: str,
                n_total: int, axis_name: Optional[str] = None,
-               weights: Optional[Dict[str, jax.Array]] = None):
+               weights: Optional[Dict[str, jax.Array]] = None,
+               occ_grid: Optional[jax.Array] = None):
     """Render a (shard of the) ray batch and reduce its loss terms to scalars.
 
     With axis_name set, runs inside shard_map over the ray axis: local sums are
@@ -122,7 +123,8 @@ def _ray_terms(nerf_params, pixels, depth_prior, rgb_gt, prior_mask, camera_mat,
 
         ray_table, z_val, depth_gt, object_mask = fused_train_prepare(
             pixels, depth_prior, camera_mat, world_mat, scale_mat, key,
-            mc.render, mc.nerf, add_noise=mc.stratified_noise)
+            mc.render, mc.nerf, add_noise=mc.stratified_noise,
+            occ_grid=occ_grid)
         if mc.detach_gt_depth:
             depth_gt = jax.lax.stop_gradient(depth_gt)
         mask = object_mask & prior_mask
@@ -154,7 +156,8 @@ def _ray_terms(nerf_params, pixels, depth_prior, rgb_gt, prior_mask, camera_mat,
 
     out = render_nope_nerf(nerf_params, pixels, depth_prior, camera_mat,
                            world_mat, scale_mat, key, mc.render, mc.nerf,
-                           add_noise=mc.stratified_noise, eval_=False)
+                           add_noise=mc.stratified_noise, eval_=False,
+                           occ_grid=occ_grid)
     depth_pred = out["depth_pred"]
     depth_gt = out["depth_gt"]
     if mc.detach_gt_depth:
@@ -256,11 +259,12 @@ def compute_step_loss(params: Dict[str, Any], batch: Dict[str, jax.Array],
     if render_model:
         prior_mask = depth_mask.reshape(-1)[ray_idx]
         n_total = mc.n_training_points
+        occ_grid = batch.get("occ_grid")
         if mesh is None:
             l_rgb, l_depth, l2_mean, ray_total = _ray_terms(
                 params["nerf"], pixels, depth_prior, rgb_gt, prior_mask, camera_mat,
                 world_mat, scale_mat, key, mc, rgb_loss_type, n_total,
-                weights=weights)
+                weights=weights, occ_grid=occ_grid)
         else:
             from jax.sharding import PartitionSpec as P
 
@@ -275,30 +279,34 @@ def compute_step_loss(params: Dict[str, Any], batch: Dict[str, jax.Array],
                                               pixels.shape[0] // n_dev))
 
             def shard_fn(nerf_params, pixels_s, depth_prior_s, rgb_gt_s, mask_s,
-                         camera_mat_r, world_mat_r, keys_s, w_rgb, w_depth):
+                         camera_mat_r, world_mat_r, keys_s, w_rgb, w_depth,
+                         *grid_arg):
                 lr, ld, l2, tot = _ray_terms(
                     nerf_params, pixels_s, depth_prior_s, rgb_gt_s,
                     mask_s, camera_mat_r, world_mat_r, None,
                     keys_s[0], mc, rgb_loss_type, n_total,
                     axis_name="data",
                     weights=({"rgb_weight": w_rgb, "depth_weight": w_depth}
-                             if fused else None))
+                             if fused else None),
+                    occ_grid=grid_arg[0] if grid_arg else None)
                 # shard_map outputs can't be None — a sentinel stands in when
                 # the unfused path ran (discarded below; `fused` is static).
                 return lr, ld, l2, (tot if tot is not None
                                     else jnp.asarray(0.0, jnp.float32))
 
             keys = jax.random.split(key, n_dev)
+            grid_args = () if occ_grid is None else (occ_grid,)  # replicated
             l_rgb, l_depth, l2_mean, ray_total = jax.shard_map(
                 shard_fn, mesh=mesh,
                 in_specs=(P(), P("data"), P("data"), P("data"), P("data"),
-                          P(), P(), P("data"), P(), P()),
+                          P(), P(), P("data"), P(), P())
+                         + tuple(P() for _ in grid_args),
                 out_specs=(P(), P(), P(), P()),
                 check_vma=False,
             )(params["nerf"], pixels, depth_prior, rgb_gt, prior_mask,
               camera_mat, world_mat, keys,
               jnp.asarray(weights["rgb_weight"], jnp.float32),
-              jnp.asarray(weights["depth_weight"], jnp.float32))
+              jnp.asarray(weights["depth_weight"], jnp.float32), *grid_args)
             if not fused:
                 ray_total = None
         precomputed = {"loss_rgb": l_rgb, "loss_depth": l_depth, "l2_mean": l2_mean}
@@ -474,6 +482,8 @@ def train_steps(state: TrainState, scene_stack: Dict[str, jax.Array],
             "ref_pose_gt": gather(scene_stack["c2ws_gt"], ref),
             "ref_idx": ref,
         }
+        if "occ_grid" in scene_stack:
+            batch["occ_grid"] = scene_stack["occ_grid"]
         return train_step(st, batch, weights, lrs, mc, rgb_loss_type,
                           optimizers, mesh)
 
@@ -508,6 +518,13 @@ class Trainer:
         # step doesn't pay ~16 host->device scalar uploads (costly over remote
         # device transports)
         self._sched_cache = {}
+        # occupancy-grid guided sampling (ops/occupancy.py; opt-in extension)
+        r = cfg["rendering"]
+        self.occ_grid = None
+        self._occ_enabled = bool(r.get("occupancy_grid", False))
+        self._occ_res = int(r.get("occupancy_res", 64))
+        self._occ_decay = float(r.get("occupancy_decay", 0.95))
+        self._occ_update_every = int(r.get("occupancy_update_every", 1))
 
     def lrs_at(self, epoch: int, scheduling_start: int) -> Dict[str, jnp.ndarray]:
         from .scheduler import lr_at_epoch
@@ -535,6 +552,8 @@ class Trainer:
                      self.rgb_loss_type(epoch, scheduling_start))
             self._sched_cache = {key: sched}  # keep only the current epoch
         weights, lrs, rgb_loss_type = sched
+        if self.occ_grid is not None and "occ_grid" not in batch:
+            batch = {**batch, "occ_grid": self.occ_grid}
         return train_step(state, batch, weights, lrs, self.mc, rgb_loss_type,
                           self.optimizers, self.mesh)
 
@@ -554,9 +573,25 @@ class Trainer:
         scene_stack = {"imgs": scene.imgs, "depths": scene.depths,
                        "depth_masks": scene.depth_masks, "K": scene.K,
                        "c2ws_gt": scene.c2ws_gt}
+        if self.occ_grid is not None:
+            scene_stack["occ_grid"] = self.occ_grid
         return train_steps(state, scene_stack, jnp.asarray(order, jnp.int32),
                            jnp.asarray(ref_order, jnp.int32), weights, lrs,
                            self.mc, rgb_loss_type, self.optimizers, self.mesh)
+
+    def update_occupancy(self, state: TrainState, epoch: int) -> None:
+        """EMA-update the occupancy grid from the current field (no-op unless
+        rendering.occupancy_grid is on and `epoch` hits the update cadence).
+        Call once per epoch from the host loop — ONE extra device dispatch."""
+        if not self._occ_enabled or epoch % self._occ_update_every:
+            return
+        from ..ops.occupancy import make_occupancy_grid, update_occupancy_grid
+        if self.occ_grid is None:
+            self.occ_grid = make_occupancy_grid(self._occ_res)
+        kgrid = jax.random.fold_in(jax.random.key(17), epoch)
+        self.occ_grid = update_occupancy_grid(
+            self.occ_grid, state.params["nerf"], kgrid, self.mc.nerf,
+            radius=self.mc.render.occ_radius, decay=self._occ_decay)
 
     def render_frame(self, state: TrainState, batch: Dict[str, jax.Array],
                      resolution: Tuple[int, int], chunk: int = 131072,
