@@ -134,7 +134,18 @@ def train(cfg: dict, synthetic: bool = False, max_epochs: Optional[int] = None):
         it = int(state.it)
         scheduling_start = scalars.get("scheduling_start", scheduling_start)
         auto.load_state_dict(scalars)
+        if scalars.get("occ_grid") is not None:
+            # resume the EMA occupancy grid — rebuilding from all-ones would
+            # make a resumed run sample differently for dozens of epochs
+            trainer.occ_grid = jnp.asarray(scalars["occ_grid"])
         print(f"resumed from {t_cfg['load_dir']} at epoch {epoch_it}, it {it}")
+
+    def ckpt_scalars(ep, sched_start):
+        sc = {"epoch_it": ep, "scheduling_start": sched_start,
+              **auto.state_dict()}
+        if trainer.occ_grid is not None:
+            sc["occ_grid"] = np.asarray(trainer.occ_grid)
+        return sc
 
     try:
         from torch.utils.tensorboard import SummaryWriter
@@ -237,14 +248,10 @@ def train(cfg: dict, synthetic: bool = False, max_epochs: Optional[int] = None):
 
         if checkpoint_every > 0 and itj % checkpoint_every == 0:
             save_checkpoint(out_dir, t_cfg["load_dir"], st,
-                            {"epoch_it": epoch_it,
-                             "scheduling_start": scheduling_start,
-                             **auto.state_dict()})
+                            ckpt_scalars(epoch_it, scheduling_start))
         if backup_every > 0 and itj % backup_every == 0:
             save_checkpoint(out_dir, f"model_{itj}.ckpt", st,
-                            {"epoch_it": epoch_it,
-                             "scheduling_start": scheduling_start,
-                             **auto.state_dict()})
+                            ckpt_scalars(epoch_it, scheduling_start))
 
     t0b = time.time()
     psnr = 0.0
@@ -327,11 +334,15 @@ def train(cfg: dict, synthetic: bool = False, max_epochs: Optional[int] = None):
                 state.params["nerf"], mc.nerf)
             state = type(state)(params=params, opt_state=state.opt_state,
                                 it=state.it, rng=state.rng)
+            if trainer.occ_grid is not None:
+                # the EMA grid describes the OLD field; start it fresh so the
+                # sampler doesn't chase obsolete geometry for ~1/(1-decay) epochs
+                from ..ops.occupancy import make_occupancy_grid
+                trainer.occ_grid = make_occupancy_grid(trainer._occ_res)
             print(f"scheduling_mode=reset: re-initialized NeRF at epoch {epoch_it}")
 
     save_checkpoint(out_dir, t_cfg["load_dir"], state,
-                    {"epoch_it": epoch_it, "scheduling_start": scheduling_start,
-                     **auto.state_dict()})
+                    ckpt_scalars(epoch_it, scheduling_start))
     return state, trainer, scene
 
 

@@ -34,15 +34,18 @@ def make_occupancy_grid(res: int) -> jax.Array:
 
 def grid_lookup(grid: jax.Array, points: jax.Array, radius: float) -> jax.Array:
     """Nearest-cell occupancy for world points (..., 3) in the [-radius, radius]^3
-    cube. Points outside the cube read as occupied (1.0) — never starve a region
-    the grid cannot see."""
+    cube. Points outside the cube read 0.0: the sampler's uniform floor keeps
+    them covered exactly like learned-empty interior cells. (Reading 1.0 there
+    would hand maximum weight to every beyond-radius probe and steal the sample
+    budget from real surfaces whenever depth_range extends past the cube —
+    size `rendering.radius` to cover the scene content.)"""
     res = grid.shape[0]
     ijk = jnp.floor((points + radius) * (res / (2.0 * radius))).astype(jnp.int32)
     inside = jnp.all((ijk >= 0) & (ijk < res), axis=-1)
     ijk = jnp.clip(ijk, 0, res - 1)
     flat = (ijk[..., 0] * res + ijk[..., 1]) * res + ijk[..., 2]
     occ = jnp.take(grid.reshape(-1), flat.reshape(-1)).reshape(flat.shape)
-    return jnp.where(inside, occ, 1.0)
+    return jnp.where(inside, occ, 0.0)
 
 
 @functools.partial(jax.jit, static_argnames=("ncfg", "radius", "decay"))
@@ -82,13 +85,21 @@ def occupancy_z_samples(key, origin: jax.Array, ray_vec: jax.Array,
     piecewise-constant pdf w = occ + floor, and inverse-CDF samples the same
     budget of `steps` depths (ops.render.sample_pdf). add_noise=False gives the
     deterministic (midpoint) draw for eval-style rendering.
+
+    sample_pdf drops its edge weights (weights[:, 1:-1]) and confines samples
+    to the mid-point span, so the probe ladder is EXTENDED by one step beyond
+    each end of depth_range: every in-range probe weight then participates,
+    samples cover the boundary half-bins, and the result is clipped back to
+    depth_range.
     """
     from .render import sample_pdf
 
     n = ray_vec.shape[0]  # origin is the shared camera centre (3,)
-    z_probe = jnp.linspace(depth_range[0], depth_range[1], steps, dtype=dtype)
-    z_probe = jnp.broadcast_to(z_probe, (n, steps))
+    near, far = depth_range
+    h = (far - near) / (steps - 1)
+    z_probe = jnp.linspace(near - h, far + h, steps + 2, dtype=dtype)
+    z_probe = jnp.broadcast_to(z_probe, (n, steps + 2))
     pts = origin[None, None, :] + z_probe[..., None] * ray_vec[:, None, :]
     w = grid_lookup(grid, pts, radius) + floor
     z = sample_pdf(key, z_probe, w, steps, deterministic=not add_noise)
-    return jnp.sort(z, axis=-1)
+    return jnp.sort(jnp.clip(z, near, far), axis=-1)

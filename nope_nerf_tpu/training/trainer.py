@@ -580,14 +580,22 @@ class Trainer:
                            self.mc, rgb_loss_type, self.optimizers, self.mesh)
 
     def update_occupancy(self, state: TrainState, epoch: int) -> None:
-        """EMA-update the occupancy grid from the current field (no-op unless
-        rendering.occupancy_grid is on and `epoch` hits the update cadence).
-        Call once per epoch from the host loop — ONE extra device dispatch."""
-        if not self._occ_enabled or epoch % self._occ_update_every:
+        """EMA-update the occupancy grid from the current field. Call once per
+        epoch from the host loop — ONE extra device dispatch.
+
+        The grid is CREATED on the first call whenever the feature is enabled
+        (independent of the update cadence) so the batch pytree structure is
+        stable from epoch 0 — a grid appearing mid-run would force the jitted
+        scan-epoch program to recompile. update_every <= 0 means "never
+        EMA-update" (the grid stays as created/loaded).
+        """
+        if not self._occ_enabled:
             return
         from ..ops.occupancy import make_occupancy_grid, update_occupancy_grid
         if self.occ_grid is None:
             self.occ_grid = make_occupancy_grid(self._occ_res)
+        if self._occ_update_every <= 0 or epoch % self._occ_update_every:
+            return
         kgrid = jax.random.fold_in(jax.random.key(17), epoch)
         self.occ_grid = update_occupancy_grid(
             self.occ_grid, state.params["nerf"], kgrid, self.mc.nerf,

@@ -26,7 +26,9 @@ def test_grid_lookup_inside_outside():
     occ = grid_lookup(g, jnp.concatenate([cell_centre, far_cell, outside]), r)
     assert occ[0] == pytest.approx(0.7)
     assert occ[1] == 0.0
-    assert occ[2] == 1.0  # outside the cube reads occupied
+    # outside the cube reads 0.0: floor-level coverage, like learned-empty —
+    # 1.0 would hand max weight to every beyond-radius probe (budget theft)
+    assert occ[2] == 0.0
 
 
 def test_update_grid_tracks_density():
@@ -172,3 +174,71 @@ def test_occupancy_off_is_bitexact_reference_path():
     s2, ld2 = Trainer(cfg, mc, optimizers).step(state, batch, epoch=0,
                                                 scheduling_start=10000)
     np.testing.assert_array_equal(np.asarray(ld1["loss"]), np.asarray(ld2["loss"]))
+
+
+def test_boundary_bins_reachable():
+    """Occupancy hugging the near bound still attracts samples (the probe
+    ladder is extended so sample_pdf's edge-weight trim can't hide it)."""
+    res, r = 32, 4.0
+    g = make_occupancy_grid(res) * 0.0
+    # occupy only world z in [-0.25, 0] -> ray depth [0, 0.25], at the near edge
+    g = g.at[:, :, res // 2 - 1].set(1.0)
+    n, S = 32, 64
+    origin = jnp.zeros((3,))
+    ray_vec = jnp.tile(jnp.array([[0.0, 0.0, -1.0]]), (n, 1))
+    z = occupancy_z_samples(jax.random.key(0), origin, ray_vec, g, S,
+                            (0.01, 4.0), r, floor=0.01, add_noise=True)
+    assert jnp.all(z >= 0.01) and jnp.all(z <= 4.0)
+    near_frac = float(jnp.mean((z <= 0.3).astype(jnp.float32)))
+    assert near_frac > 0.3
+
+
+def test_update_every_zero_and_negative_no_crash():
+    from nope_nerf_tpu.data import SceneData, make_synthetic_scene
+    from nope_nerf_tpu.training import ModelConfigs, Trainer, create_train_state
+
+    cfg = load_config(overrides={
+        "model": {"hidden_dim": 32},
+        "rendering": {"num_points": 16, "occupancy_grid": True,
+                      "occupancy_res": 8, "occupancy_update_every": 0},
+        "training": {"n_training_points": 64},
+        "tpu": {"use_pallas_renderer": False},
+    })
+    mc = ModelConfigs.from_cfg(cfg, num_cams=2)
+    state, optimizers = create_train_state(jax.random.key(0), mc)
+    tr = Trainer(cfg, mc, optimizers)
+    tr.update_occupancy(state, epoch=0)   # must not divide by zero
+    # grid exists from the first call (stable batch pytree), but stays all-ones
+    assert tr.occ_grid is not None
+    np.testing.assert_array_equal(np.asarray(tr.occ_grid), 1.0)
+
+
+def test_grid_checkpoint_roundtrip(tmp_path):
+    """The EMA grid rides in the checkpoint scalars: a resumed run continues
+    with the learned grid instead of resetting to all-ones."""
+    from nope_nerf_tpu.cli.train import train
+
+    over = {
+        "model": {"hidden_dim": 32},
+        "rendering": {"num_points": 16, "occupancy_grid": True,
+                      "occupancy_res": 8},
+        "training": {"n_training_points": 64, "out_dir": str(tmp_path / "out"),
+                     "print_every": 0, "checkpoint_every": 0, "backup_every": 0,
+                     "visualize_every": 0, "eval_pose_every": -1,
+                     "eval_img_every": -1},
+        "pose": {"learn_pose": True, "init_pose": True},
+        "tpu": {"use_pallas_renderer": False},
+    }
+    cfg = load_config(overrides=over)
+    _, tr1, _ = train(cfg, synthetic=True, max_epochs=3)
+    g1 = np.asarray(tr1.occ_grid)
+    assert not np.allclose(g1, 1.0)  # the EMA has moved off all-ones
+
+    cfg2 = load_config(overrides=over)
+    _, tr2, _ = train(cfg2, synthetic=True, max_epochs=4)  # resumes +1 epoch
+    g2 = np.asarray(tr2.occ_grid)
+    # one more EMA update on top of the restored grid, not a fresh all-ones:
+    # everywhere the new density is below the decayed old value, g2 == 0.95*g1
+    decayed = np.isclose(g2, 0.95 * g1, rtol=1e-5)
+    assert decayed.mean() > 0.2
+    assert np.all(g2 <= np.maximum(0.95 * g1, 1.0) + 1e-6)
