@@ -22,6 +22,23 @@ from typing import Iterator, Optional, Tuple
 import numpy as np
 
 
+def globalize_replicated(tree, mesh):
+    """Host-local pytree -> global jax.Arrays replicated over `mesh`.
+
+    In a multi-process run, arrays a host builds locally (jnp.asarray) are
+    addressable on its own devices only; a jitted function over the global mesh
+    needs global Arrays. This framework replicates every train-step input
+    (params, the per-step frame batch — all hosts compute identical values from
+    the shared seed) and shards rays INSIDE the step via shard_map, so the
+    conversion is uniform: every leaf becomes a fully-replicated global array.
+    One-liner on a single host (mesh local) — a no-op semantically.
+    """
+    from jax.experimental import multihost_utils
+    from jax.sharding import PartitionSpec as P
+
+    return multihost_utils.host_local_array_to_global_array(tree, mesh, P())
+
+
 def host_frame_schedule(n_frames: int, epoch: int, seed: int,
                         shuffle: bool = True) -> np.ndarray:
     """Deterministic per-epoch frame order, identical on every host (no broadcast

@@ -547,8 +547,15 @@ class Trainer:
         key = (epoch, scheduling_start)
         sched = self._sched_cache.get(key)
         if sched is None:
-            sched = (self.weights_at(epoch, scheduling_start),
-                     self.lrs_at(epoch, scheduling_start),
+            weights_n = self.weights_at(epoch, scheduling_start)
+            lrs_n = self.lrs_at(epoch, scheduling_start)
+            if self.mesh is not None and jax.process_count() > 1:
+                # multi-process: every jit input must be a global array — the
+                # schedule scalars are identical on all hosts, so replicate them
+                from ..parallel import globalize_replicated
+                weights_n = globalize_replicated(weights_n, self.mesh)
+                lrs_n = globalize_replicated(lrs_n, self.mesh)
+            sched = (weights_n, lrs_n,
                      self.rgb_loss_type(epoch, scheduling_start))
             self._sched_cache = {key: sched}  # keep only the current epoch
         weights, lrs, rgb_loss_type = sched

@@ -1,0 +1,81 @@
+"""Worker for the REAL multi-process test (test_multiprocess.py): one of
+`num_processes` JAX processes, each owning `--local-devices` virtual CPU
+devices, jointly running the full sharded train step over the GLOBAL mesh.
+
+Usage: python multiprocess_worker.py <process_id> <num_processes> <port>
+Prints one line: MP_RESULT <process_id> <loss> <l2_mean> <nerf_grad_like_sum>
+"""
+
+import os
+import sys
+
+
+def main() -> None:
+    pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    local_devices = 2
+    # ours must come LAST: with repeated flags XLA honors the final one (the
+    # pytest parent exports ...=8 for its own virtual mesh)
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={local_devices}")
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(coordinator_address=f"localhost:{port}",
+                               num_processes=nproc, process_id=pid)
+    assert jax.process_count() == nproc
+    assert jax.device_count() == nproc * local_devices
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nope_nerf_tpu.config import load_config
+    from nope_nerf_tpu.data import SceneData, batch_for_frame, make_synthetic_scene
+    from nope_nerf_tpu.parallel import (
+        globalize_replicated,
+        host_frame_schedule,
+        make_mesh,
+    )
+    from nope_nerf_tpu.training import ModelConfigs, Trainer, create_train_state
+
+    # every host builds the IDENTICAL scene/state from the shared seed
+    cfg = load_config(overrides={
+        "model": {"hidden_dim": 32},
+        "rendering": {"num_points": 16},
+        "training": {"n_training_points": 64},
+        "pose": {"learn_pose": True, "init_pose": True},
+        "tpu": {"use_pallas_renderer": False},
+    })
+    scene = SceneData.from_dict(dict(make_synthetic_scene(n_frames=3, h=24, w=32)))
+    mc = ModelConfigs.from_cfg(cfg, num_cams=3)
+    mc = type(mc)(**{**mc.__dict__, "chamfer_tile": 64, "stratified_noise": False,
+                     "nerf": type(mc.nerf)(**{**mc.nerf.__dict__,
+                                              "compute_dtype": "float32"})})
+    state, optimizers = create_train_state(jax.random.key(0), mc,
+                                           init_c2w=jnp.asarray(scene.c2ws_gt))
+
+    mesh = make_mesh(nproc * local_devices)  # the GLOBAL mesh, spanning hosts
+    trainer = Trainer(cfg, mc, optimizers, mesh=mesh)
+
+    # every jit input must be a GLOBAL array in multi-process mode; all values
+    # are identical across hosts, so replicate them (key arrays via key_data)
+    state = type(state)(
+        params=globalize_replicated(state.params, mesh),
+        opt_state=globalize_replicated(state.opt_state, mesh),
+        it=globalize_replicated(state.it, mesh),
+        rng=jax.random.wrap_key_data(
+            globalize_replicated(jax.random.key_data(state.rng), mesh)))
+
+    order = host_frame_schedule(3, epoch=0, seed=5)  # identical on every host
+    rng = np.random.RandomState(0)
+    for frame in order[:2]:
+        batch = {k: jnp.asarray(v)
+                 for k, v in batch_for_frame(scene, int(frame), rng=rng).items()}
+        gbatch = globalize_replicated(batch, mesh)
+        state, ld = trainer.step(state, gbatch, epoch=0, scheduling_start=10000)
+    wsum = float(jnp.sum(jnp.abs(state.params["nerf"]["density_w"])))
+    print(f"MP_RESULT {pid} {float(ld['loss']):.8f} {float(ld['l2_mean']):.8f} "
+          f"{wsum:.6f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
