@@ -101,13 +101,8 @@ def evaluate(cfg: dict, synthetic: bool = False):
 
     results = []
     min_d, max_d = cfg["eval_pose"]["depth_range"]
-    for i in range(eval_scene.n_frames):
-        batch = {
-            "img": eval_scene.imgs[i], "depth": np.ones((h, w), np.float32),
-            "depth_mask": np.ones((h, w), bool), "camera_mat": eval_scene.K,
-            "pose_gt": eval_c2ws[i].astype(np.float32), "idx": np.int32(i),
-        }
-        out = trainer.render_frame(state, batch, (h, w), use_learned_pose=False)
+
+    def eval_view(i, out):
         gt_depth = (eval_scene.gt_depths[i] if eval_scene.gt_depths is not None
                     else None)
         r = eval_image(out["rgb"], eval_scene.imgs[i], out["depth"], gt_depth,
@@ -115,6 +110,23 @@ def evaluate(cfg: dict, synthetic: bool = False):
         results.append(r)
         print(f"{i:4d} img: PSNR {r['psnr']:.2f} SSIM {r['ssim']:.3f} "
               f"LPIPS {r['lpips'] if r['lpips'] is not None else 'n/a'}")
+
+    # depth-2 pipeline: frame i+1's render is dispatched before frame i's
+    # host readback + metrics, hiding the transport round-trip
+    pending = None
+    for i in range(eval_scene.n_frames):
+        batch = {
+            "img": eval_scene.imgs[i], "depth": np.ones((h, w), np.float32),
+            "depth_mask": np.ones((h, w), bool), "camera_mat": eval_scene.K,
+            "pose_gt": eval_c2ws[i].astype(np.float32), "idx": np.int32(i),
+        }
+        out_dev = trainer.render_frame(state, batch, (h, w),
+                                       use_learned_pose=False, sync=False)
+        if pending is not None:
+            eval_view(i - 1, trainer.finalize_frame(pending))
+        pending = out_dev
+    if pending is not None:
+        eval_view(eval_scene.n_frames - 1, trainer.finalize_frame(pending))
 
     summary = {
         "mean_psnr": float(np.mean([r["psnr"] for r in results])),

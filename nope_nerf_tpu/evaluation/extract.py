@@ -145,18 +145,29 @@ def render_trajectory(nerf_params, c2ws: np.ndarray, camera_mat, resolution,
         need_aux=False))
 
     frames = []
+
+    def finalize(rgbs, depths):
+        rgb = np.concatenate([np.asarray(r) for r in rgbs])[:n].reshape(h, w, 3)
+        depth = np.concatenate([np.asarray(d) for d in depths])[:n].reshape(h, w)
+        disp = 1.0 / np.maximum(depth, 1e-6)
+        frames.append({"rgb": rgb, "depth": depth, "disp": disp})
+
+    # depth-2 pipeline: dispatch view vi before reading back vi-1 — per-view
+    # host syncs otherwise dominate on remote-transport devices
+    pending = None
     for vi, c2w in enumerate(c2ws):
         world_mat = jnp.linalg.inv(jnp.asarray(c2w))
         rgbs, depths = [], []
         for i in range(0, n + pad, chunk):
             out = render_chunk(nerf_params, pixels_p[i:i + chunk], ones,
                                jnp.asarray(camera_mat), world_mat, None, None)
-            rgbs.append(np.asarray(out["rgb"]))
-            depths.append(np.asarray(out["depth_pred"]))
-        rgb = np.concatenate(rgbs)[:n].reshape(h, w, 3)
-        depth = np.concatenate(depths)[:n].reshape(h, w)
-        disp = 1.0 / np.maximum(depth, 1e-6)
-        frames.append({"rgb": rgb, "depth": depth, "disp": disp})
+            rgbs.append(out["rgb"])
+            depths.append(out["depth_pred"])
+        if pending is not None:
+            finalize(*pending)
+        pending = (rgbs, depths)
+    if pending is not None:
+        finalize(*pending)
 
     if out_dir is not None:
         import imageio

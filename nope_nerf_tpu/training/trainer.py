@@ -610,7 +610,8 @@ class Trainer:
 
     def render_frame(self, state: TrainState, batch: Dict[str, jax.Array],
                      resolution: Tuple[int, int], chunk: int = 131072,
-                     use_learned_pose: bool = True) -> Dict[str, jnp.ndarray]:
+                     use_learned_pose: bool = True,
+                     sync: bool = True) -> Dict[str, Any]:
         """Full-frame eval render in fixed-size ray chunks (reference render_visdata,
         training.py:103-165). Returns {'rgb': (h,w,3), 'depth': (h,w)}.
 
@@ -618,7 +619,14 @@ class Trainer:
         on TPU each chunk is a dispatch, and the fused kernel's VMEM footprint
         is independent of chunk size (it only sets the grid), so big chunks are
         strictly better — the 128k default renders a whole 188x621 frame in ONE
-        dispatch (measured 9.8 s -> 0.21 s/frame on v5e with the jit cache)."""
+        dispatch (measured 9.8 s -> 0.21 s/frame on v5e with the jit cache).
+
+        sync=False returns a PENDING frame (device arrays, dispatch already
+        queued, nothing read back); pass it to finalize_frame to get numpy.
+        Multi-frame callers overlap the next frame's compute with this frame's
+        host readback — on remote-transport devices a per-frame sync costs more
+        than the render itself (measured 345 -> ~190 ms/frame on the tunneled
+        v5e at 188x621)."""
         import numpy as np
         h, w = resolution
         mc = self.mc
@@ -665,11 +673,21 @@ class Trainer:
             out = render_chunk(state.params["nerf"], pixels_p[i:i + chunk],
                                depth_p[i:i + chunk, None], camera_mat, world_mat,
                                None, None)
-            rgbs.append(np.asarray(out["rgb"]))
-            depths.append(np.asarray(out["depth_pred"]))
-        rgb = np.concatenate(rgbs)[:n].reshape(h, w, 3)
-        depth = np.concatenate(depths)[:n].reshape(h, w)
-        return {"rgb": rgb, "depth": depth}
+            rgbs.append(out["rgb"])
+            depths.append(out["depth_pred"])
+        pending = {"rgb_chunks": rgbs, "depth_chunks": depths,
+                   "n": n, "resolution": (h, w)}
+        return self.finalize_frame(pending) if sync else pending
+
+    @staticmethod
+    def finalize_frame(pending: Dict[str, Any]) -> Dict[str, Any]:
+        """Read back a pending render_frame(sync=False) result -> numpy dict."""
+        import numpy as np
+        h, w = pending["resolution"]
+        n = pending["n"]
+        rgb = np.concatenate([np.asarray(r) for r in pending["rgb_chunks"]])
+        depth = np.concatenate([np.asarray(d) for d in pending["depth_chunks"]])
+        return {"rgb": rgb[:n].reshape(h, w, 3), "depth": depth[:n].reshape(h, w)}
 
     def reprojection_pair(self, state: TrainState, batch: Dict[str, jax.Array]):
         """The photometric warp pair (rgb_pc1, rgb_pc1_proj, valid) as numpy images
