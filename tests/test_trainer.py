@@ -226,3 +226,32 @@ def test_pose_recovery_photometric():
     assert np.isfinite(ateN)
     assert ateN < 0.5 * ate0, (ate0, ateN)
     assert float(lds["loss_rgb_s"][-1]) < 0.008
+
+
+def test_render_frame_async_matches_sync():
+    """render_frame(sync=False) + finalize_frame is bitwise the sync result."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nope_nerf_tpu.config import load_config
+    from nope_nerf_tpu.data import SceneData, batch_for_frame, make_synthetic_scene
+    from nope_nerf_tpu.training import ModelConfigs, Trainer, create_train_state
+
+    cfg = load_config(overrides={
+        "model": {"hidden_dim": 32},
+        "rendering": {"num_points": 8},
+        "training": {"n_training_points": 32},
+        "tpu": {"use_pallas_renderer": False},
+    })
+    scene = SceneData.from_dict(dict(make_synthetic_scene(n_frames=2, h=12, w=16)))
+    mc = ModelConfigs.from_cfg(cfg, num_cams=2)
+    state, optimizers = create_train_state(jax.random.key(0), mc,
+                                           init_c2w=jnp.asarray(scene.c2ws_gt))
+    tr = Trainer(cfg, mc, optimizers)
+    b = {k: jnp.asarray(v) for k, v in batch_for_frame(scene, 0).items()}
+    a = tr.render_frame(state, b, (12, 16))
+    pending = tr.render_frame(state, b, (12, 16), sync=False)
+    bb = tr.finalize_frame(pending)
+    np.testing.assert_array_equal(a["rgb"], bb["rgb"])
+    np.testing.assert_array_equal(a["depth"], bb["depth"])
