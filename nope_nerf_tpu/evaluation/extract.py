@@ -155,12 +155,13 @@ def render_trajectory(nerf_params, c2ws: np.ndarray, camera_mat, resolution,
     # depth-2 pipeline: dispatch view vi before reading back vi-1 — per-view
     # host syncs otherwise dominate on remote-transport devices
     pending = None
+    camera_mat = jnp.asarray(camera_mat)
     for vi, c2w in enumerate(c2ws):
         world_mat = jnp.linalg.inv(jnp.asarray(c2w))
         rgbs, depths = [], []
         for i in range(0, n + pad, chunk):
             out = render_chunk(nerf_params, pixels_p[i:i + chunk], ones,
-                               jnp.asarray(camera_mat), world_mat, None, None)
+                               camera_mat, world_mat, None, None)
             rgbs.append(out["rgb"])
             depths.append(out["depth_pred"])
         if pending is not None:

@@ -24,6 +24,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def pixel_grid(resolution: Tuple[int, int],
@@ -67,11 +68,10 @@ def intrinsics_ndc(fx: float, fy: float, w: int, h: int) -> jnp.ndarray:
                                     jnp.asarray(2.0 * fy / h, jnp.float32))
 
 
-def intrinsics_ndc_np(fx: float, fy: float, w: int, h: int) -> "np.ndarray":
+def intrinsics_ndc_np(fx: float, fy: float, w: int, h: int) -> np.ndarray:
     """Host-side numpy twin of intrinsics_ndc, for the data layer (scene loading
     and generation must not materialize device arrays — that would block on TPU
     backend init just to build a 4x4 constant)."""
-    import numpy as np
     return np.array([[2.0 * fx / w, 0, 0, 0],
                      [0, -2.0 * fy / h, 0, 0],
                      [0, 0, -1, 0],

@@ -1,6 +1,6 @@
 """Worker for the REAL multi-process test (test_multiprocess.py): one of
-`num_processes` JAX processes, each owning `--local-devices` virtual CPU
-devices, jointly running the full sharded train step over the GLOBAL mesh.
+`num_processes` JAX processes, each owning 2 virtual CPU devices, jointly
+running the full sharded train step over the GLOBAL mesh.
 
 Usage: python multiprocess_worker.py <process_id> <num_processes> <port>
 Prints one line: MP_RESULT <process_id> <loss> <l2_mean> <nerf_grad_like_sum>
