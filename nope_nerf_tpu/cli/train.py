@@ -137,7 +137,8 @@ def train(cfg: dict, synthetic: bool = False, max_epochs: Optional[int] = None):
         if scalars.get("occ_grid") is not None:
             # resume the EMA occupancy grid — rebuilding from all-ones would
             # make a resumed run sample differently for dozens of epochs
-            trainer.occ_grid = jnp.asarray(scalars["occ_grid"])
+            # (no-op if the current config disabled occupancy)
+            trainer.set_occupancy_grid(scalars["occ_grid"])
         print(f"resumed from {t_cfg['load_dir']} at epoch {epoch_it}, it {it}")
 
     def ckpt_scalars(ep, sched_start):
@@ -334,11 +335,9 @@ def train(cfg: dict, synthetic: bool = False, max_epochs: Optional[int] = None):
                 state.params["nerf"], mc.nerf)
             state = type(state)(params=params, opt_state=state.opt_state,
                                 it=state.it, rng=state.rng)
-            if trainer.occ_grid is not None:
-                # the EMA grid describes the OLD field; start it fresh so the
-                # sampler doesn't chase obsolete geometry for ~1/(1-decay) epochs
-                from ..ops.occupancy import make_occupancy_grid
-                trainer.occ_grid = make_occupancy_grid(trainer._occ_res)
+            # the EMA grid describes the OLD field; start it fresh so the
+            # sampler doesn't chase obsolete geometry for ~1/(1-decay) epochs
+            trainer.reset_occupancy()
             print(f"scheduling_mode=reset: re-initialized NeRF at epoch {epoch_it}")
 
     save_checkpoint(out_dir, t_cfg["load_dir"], state,

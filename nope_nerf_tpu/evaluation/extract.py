@@ -144,13 +144,15 @@ def render_trajectory(nerf_params, c2ws: np.ndarray, camera_mat, resolution,
         render_nope_nerf, rcfg=rcfg, ncfg=ncfg, add_noise=False, eval_=True,
         need_aux=False))
 
+    from ..training.trainer import Trainer
+
     frames = []
 
     def finalize(rgbs, depths):
-        rgb = np.concatenate([np.asarray(r) for r in rgbs])[:n].reshape(h, w, 3)
-        depth = np.concatenate([np.asarray(d) for d in depths])[:n].reshape(h, w)
-        disp = 1.0 / np.maximum(depth, 1e-6)
-        frames.append({"rgb": rgb, "depth": depth, "disp": disp})
+        out = Trainer.finalize_frame({"rgb_chunks": rgbs, "depth_chunks": depths,
+                                      "n": n, "resolution": (h, w)})
+        out["disp"] = 1.0 / np.maximum(out["depth"], 1e-6)
+        frames.append(out)
 
     # depth-2 pipeline: dispatch view vi before reading back vi-1 — per-view
     # host syncs otherwise dominate on remote-transport devices

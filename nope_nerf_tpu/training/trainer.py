@@ -542,23 +542,31 @@ class Trainer:
         from .scheduler import rgb_loss_type_at
         return rgb_loss_type_at(self.cfg["training"], scheduling_start, epoch)
 
-    def step(self, state: TrainState, batch: Dict[str, jax.Array], epoch: int,
-             scheduling_start: int) -> Tuple[TrainState, Dict[str, jax.Array]]:
+    def _globalize(self, tree):
+        """Host-local pytree -> global replicated arrays when running
+        multi-process over a host-spanning mesh; identity otherwise. Every jit
+        input must be a global array in that mode."""
+        if self.mesh is not None and jax.process_count() > 1:
+            from ..parallel import globalize_replicated
+            return globalize_replicated(tree, self.mesh)
+        return tree
+
+    def _sched_at(self, epoch: int, scheduling_start: int):
+        """(weights, lrs, rgb_loss_type) for this epoch — device-cached so a
+        step pays no host->device scalar uploads, and globalized for
+        multi-process runs (shared by step() and run_steps())."""
         key = (epoch, scheduling_start)
         sched = self._sched_cache.get(key)
         if sched is None:
-            weights_n = self.weights_at(epoch, scheduling_start)
-            lrs_n = self.lrs_at(epoch, scheduling_start)
-            if self.mesh is not None and jax.process_count() > 1:
-                # multi-process: every jit input must be a global array — the
-                # schedule scalars are identical on all hosts, so replicate them
-                from ..parallel import globalize_replicated
-                weights_n = globalize_replicated(weights_n, self.mesh)
-                lrs_n = globalize_replicated(lrs_n, self.mesh)
-            sched = (weights_n, lrs_n,
+            sched = (self._globalize(self.weights_at(epoch, scheduling_start)),
+                     self._globalize(self.lrs_at(epoch, scheduling_start)),
                      self.rgb_loss_type(epoch, scheduling_start))
             self._sched_cache = {key: sched}  # keep only the current epoch
-        weights, lrs, rgb_loss_type = sched
+        return sched
+
+    def step(self, state: TrainState, batch: Dict[str, jax.Array], epoch: int,
+             scheduling_start: int) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        weights, lrs, rgb_loss_type = self._sched_at(epoch, scheduling_start)
         if self.occ_grid is not None and "occ_grid" not in batch:
             batch = {**batch, "occ_grid": self.occ_grid}
         return train_step(state, batch, weights, lrs, self.mc, rgb_loss_type,
@@ -569,14 +577,7 @@ class Trainer:
         """Scan-fused chunk of steps: one dispatch for len(order) frames (see
         train_steps). `scene` is a (device-resident) SceneData; order/ref_order
         come from data.epoch_order."""
-        key = (epoch, scheduling_start)
-        sched = self._sched_cache.get(key)
-        if sched is None:
-            sched = (self.weights_at(epoch, scheduling_start),
-                     self.lrs_at(epoch, scheduling_start),
-                     self.rgb_loss_type(epoch, scheduling_start))
-            self._sched_cache = {key: sched}
-        weights, lrs, rgb_loss_type = sched
+        weights, lrs, rgb_loss_type = self._sched_at(epoch, scheduling_start)
         scene_stack = {"imgs": scene.imgs, "depths": scene.depths,
                        "depth_masks": scene.depth_masks, "K": scene.K,
                        "c2ws_gt": scene.c2ws_gt}
@@ -585,6 +586,23 @@ class Trainer:
         return train_steps(state, scene_stack, jnp.asarray(order, jnp.int32),
                            jnp.asarray(ref_order, jnp.int32), weights, lrs,
                            self.mc, rgb_loss_type, self.optimizers, self.mesh)
+
+    def set_occupancy_grid(self, grid) -> None:
+        """Install a grid (e.g. restored from a checkpoint). Ignored when the
+        feature is disabled — a resumed checkpoint from an occupancy run must
+        not silently re-enable occupancy sampling under a config that turned it
+        off. Globalized for multi-process runs."""
+        if not self._occ_enabled:
+            return
+        self.occ_grid = self._globalize(jnp.asarray(grid))
+
+    def reset_occupancy(self) -> None:
+        """Fresh all-ones grid (scheduling_mode=reset discards the field the
+        EMA describes). Keeps shape/enabled invariants in one place."""
+        if self.occ_grid is None:
+            return
+        from ..ops.occupancy import make_occupancy_grid
+        self.occ_grid = self._globalize(make_occupancy_grid(self._occ_res))
 
     def update_occupancy(self, state: TrainState, epoch: int) -> None:
         """EMA-update the occupancy grid from the current field. Call once per
@@ -600,7 +618,13 @@ class Trainer:
             return
         from ..ops.occupancy import make_occupancy_grid, update_occupancy_grid
         if self.occ_grid is None:
-            self.occ_grid = make_occupancy_grid(self._occ_res)
+            self.occ_grid = self._globalize(make_occupancy_grid(self._occ_res))
+            far = self.mc.render.depth_range[1]
+            if far > self.mc.render.occ_radius:
+                print(f"WARNING: rendering.depth_range far ({far}) exceeds the "
+                      f"occupancy cube radius ({self.mc.render.occ_radius}); "
+                      "content beyond the cube only gets floor-level sampling — "
+                      "set rendering.radius to cover the scene")
         if self._occ_update_every <= 0 or epoch % self._occ_update_every:
             return
         kgrid = jax.random.fold_in(jax.random.key(17), epoch)

@@ -34,10 +34,16 @@ def test_two_process_step_matches_single_process():
                               stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
                               text=True, env=env) for i in range(2)]
     outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=540)
-        outs.append(out)
-        assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=540)
+            outs.append(out)
+            assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+    finally:
+        # a failed worker leaves its peer blocked in distributed init — kill it
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
 
     results = {}
     for out in outs:

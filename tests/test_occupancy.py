@@ -242,3 +242,28 @@ def test_grid_checkpoint_roundtrip(tmp_path):
     decayed = np.isclose(g2, 0.95 * g1, rtol=1e-5)
     assert decayed.mean() > 0.2
     assert np.all(g2 <= np.maximum(0.95 * g1, 1.0) + 1e-6)
+
+
+def test_resume_with_occupancy_disabled_stays_disabled(tmp_path):
+    """A checkpoint from an occupancy run must not re-enable the feature under
+    a config that turned it off (set_occupancy_grid gates on enabled)."""
+    from nope_nerf_tpu.cli.train import train
+
+    over = {
+        "model": {"hidden_dim": 32},
+        "rendering": {"num_points": 16, "occupancy_grid": True,
+                      "occupancy_res": 8},
+        "training": {"n_training_points": 64, "out_dir": str(tmp_path / "out"),
+                     "print_every": 0, "checkpoint_every": 0, "backup_every": 0,
+                     "visualize_every": 0, "eval_pose_every": -1,
+                     "eval_img_every": -1},
+        "pose": {"learn_pose": True, "init_pose": True},
+        "tpu": {"use_pallas_renderer": False},
+    }
+    train(load_config(overrides=over), synthetic=True, max_epochs=2)
+
+    over_off = {**over, "rendering": {**over["rendering"],
+                                      "occupancy_grid": False}}
+    _, tr, _ = train(load_config(overrides=over_off), synthetic=True,
+                     max_epochs=3)  # resumes from the occupancy checkpoint
+    assert tr.occ_grid is None
