@@ -2,8 +2,10 @@
 
 Capability parity with `evaluation/eval.py:29-227`: loads the trained checkpoint,
 initializes test poses (scale|ate|pre|none), runs test-time pose optimization,
-renders each eval view full-res, and aggregates PSNR/SSIM/LPIPS + the 7 depth
-metrics + the validity confusion matrix into `extraction/evaluation.txt`.
+renders each eval view full-res, aggregates PSNR/SSIM/LPIPS + the 7 depth
+metrics + the validity confusion matrix into `extraction/evaluation.txt`, and
+writes the full per-view artifact set (img/depth/disp/mask pngs, first-view
+depth-error scatter, eval video) via evaluation/artifacts.py.
 """
 
 from __future__ import annotations
@@ -22,6 +24,7 @@ def evaluate(cfg: dict, synthetic: bool = False):
     import jax.numpy as jnp
 
     from ..data import DataField, SceneData, make_synthetic_scene
+    from ..evaluation.artifacts import write_eval_video, write_view_artifacts
     from ..evaluation.image_eval import aggregate_depth_errors, eval_image
     from ..evaluation.pose_opt import init_test_poses, optimize_test_poses
     from ..models.poses import pose_c2w_all
@@ -100,6 +103,7 @@ def evaluate(cfg: dict, synthetic: bool = False):
             sc /= eval_scene.reverse["sc_spherify"]
 
     results = []
+    video_frames = []
     min_d, max_d = cfg["eval_pose"]["depth_range"]
 
     def eval_view(i, out):
@@ -110,6 +114,12 @@ def evaluate(cfg: dict, synthetic: bool = False):
         results.append(r)
         print(f"{i:4d} img: PSNR {r['psnr']:.2f} SSIM {r['ssim']:.3f} "
               f"LPIPS {r['lpips'] if r['lpips'] is not None else 'n/a'}")
+        # per-view artifact set (model/eval_images.py:109-198); the depth-error
+        # scatter only for the first view, matching eval.py:179 show_errors=first
+        video_frames.append(write_view_artifacts(
+            extraction_dir, i, np.asarray(out["rgb"]), eval_scene.imgs[i],
+            depth_out=r.get("depth_out_full"), depth_gt=gt_depth,
+            min_depth=min_d, max_depth=max_d, show_errors=(i == 0)))
 
     # depth-2 pipeline: frame i+1's render is dispatched before frame i's
     # host readback + metrics, hiding the transport round-trip
@@ -129,6 +139,7 @@ def evaluate(cfg: dict, synthetic: bool = False):
         eval_view(eval_scene.n_frames - 1, trainer.finalize_frame(pending))
 
     summary = {
+        "mean_mse": float(np.mean([r["mse"] for r in results])),
         "mean_psnr": float(np.mean([r["psnr"] for r in results])),
         "mean_ssim": float(np.mean([r["ssim"] for r in results])),
     }
@@ -139,8 +150,25 @@ def evaluate(cfg: dict, synthetic: bool = False):
         conf = np.sum([r["conf_mat"] for r in results], axis=0) / len(results)
         summary["conf_mat"] = conf.tolist()
 
+    # evaluation.txt in the reference's format (evaluation/eval.py:215-221)
     with open(os.path.join(extraction_dir, "evaluation.txt"), "a") as f:
-        f.write(f"{summary}\n")
+        f.write("Mean MSE: {0:.2f}, PSNR: {1:.2f}, SSIM: {2:.2f}, LPIPS {3}\n"
+                .format(summary["mean_mse"], summary["mean_psnr"],
+                        summary["mean_ssim"],
+                        "{0:.2f}".format(summary["mean_lpips"])
+                        if "mean_lpips" in summary else "n/a"))
+        if "abs_rel" in summary:
+            names = ("abs_rel", "sq_rel", "rmse", "rmse_log", "a1", "a2", "a3")
+            f.write(("{:>8} | " * 7).format(*names) + "\n")
+            f.write(("&{: 8.3f}  " * 7).format(
+                *[summary[k] for k in names]) + "\\\\\n")
+            c = summary["conf_mat"]
+            f.write(f"\ntp: {c[0][0]}, fn: {c[0][1]}, "
+                    f"fp: {c[1][0]}, tn: {c[1][1]}\n")
+        f.write("\n-> Done!\n")
+
+    if video_frames:
+        write_eval_video(extraction_dir, video_frames)
     print(summary)
     return summary
 

@@ -8,6 +8,7 @@ from .align import (
 )
 from .pose_eval import compute_ATE, compute_ATE_v2, compute_rpe, revert_to_metric
 from .image_eval import eval_image, depth_confusion
+from .artifacts import write_view_artifacts, write_eval_video
 from .pose_opt import optimize_test_poses, init_test_poses
 from .extract import (
     interp_poses,

@@ -71,6 +71,7 @@ def eval_image(rgb_pred: np.ndarray, rgb_gt: np.ndarray,
         mask, mask_rendered, conf = depth_confusion(depth_out, depth_gt,
                                                     min_depth, max_depth)
         out["conf_mat"] = conf
+        out["depth_out_full"] = depth_out  # metric scale, GT resolution
         out["depth_pred_masked"] = depth_out[mask]
         out["depth_gt_masked"] = depth_gt[mask]
         if mask.any():
@@ -79,10 +80,11 @@ def eval_image(rgb_pred: np.ndarray, rgb_gt: np.ndarray,
 
 
 def aggregate_depth_errors(per_image: list) -> Dict[str, float]:
-    """Concatenate masked depths over views and compute the 7 metrics once
-    (evaluation/eval.py:200-212)."""
-    preds = np.concatenate([d["depth_pred_masked"] for d in per_image])
-    gts = np.concatenate([d["depth_gt_masked"] for d in per_image])
-    abs_rel, sq_rel, rmse, rmse_log, a1, a2, a3 = compute_errors(gts, preds)
+    """Mean of the per-view 7-tuple depth metrics (evaluation/eval.py:200-212
+    computes compute_errors per view on its masked depths, then means over
+    views — NOT over the concatenated pixels)."""
+    errs = np.array([d["depth_errors"] for d in per_image
+                     if "depth_errors" in d])
+    abs_rel, sq_rel, rmse, rmse_log, a1, a2, a3 = errs.mean(axis=0)
     return {"abs_rel": abs_rel, "sq_rel": sq_rel, "rmse": rmse,
             "rmse_log": rmse_log, "a1": a1, "a2": a2, "a3": a3}

@@ -1,6 +1,7 @@
 """Evaluation-stack tests: Umeyama alignment recovers known sim3 transforms, ATE/RPE
 golden values, metric revert round-trips, image metrics, trajectory interpolation."""
 
+import os
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -181,6 +182,7 @@ def test_scale_alignment():
     np.testing.assert_allclose(aligned[:, :3, 3], traj_b[:, :3, 3], atol=1e-8)
 
 
+@pytest.mark.slow
 def test_pose_opt_chunk_padding_is_noop():
     """optimize_test_poses pads the lr schedule so every scan chunk compiles
     once; the padded epochs must be true no-ops — the result for n_epochs=7
@@ -205,3 +207,71 @@ def test_pose_opt_chunk_padding_is_noop():
         return c2ws
 
     np.testing.assert_allclose(run(7), run(5), rtol=0, atol=0)
+
+
+def test_view_artifacts_and_video(tmp_path):
+    """Per-view artifact set + eval video parity (model/eval_images.py:109-198,
+    evaluation/eval.py:215-227): every png the reference leaves must appear."""
+    from nope_nerf_tpu.evaluation.artifacts import (write_eval_video,
+                                                    write_view_artifacts)
+
+    rng = np.random.RandomState(3)
+    h, w = 12, 16
+    img = rng.rand(h, w, 3).astype(np.float32)
+    depth = (0.5 + 4 * rng.rand(h, w)).astype(np.float32)
+    depth[0, 0] = 0.01   # below min -> fn/fp territory
+    gt = depth * 1.05
+    d = str(tmp_path)
+    frame = write_view_artifacts(d, 0, img, img, depth_out=depth, depth_gt=gt,
+                                 min_depth=0.1, max_depth=20.0,
+                                 show_errors=True)
+    assert frame.dtype == np.uint8 and frame.shape == (h, w, 3)
+    for sub in ("img_out", "img_gt_out", "depth_out", "depth_gt_out",
+                "disp_out", "disp_gt_out"):
+        assert os.path.exists(os.path.join(d, sub, "0000.png")), sub
+    for suffix in ("_mask_rendered", "_mask_gt", "_mask_combined", "_gt", ""):
+        assert os.path.exists(os.path.join(d, "depth_mask",
+                                           f"0000{suffix}.png")), suffix
+    assert os.path.exists(os.path.join(d, "0000_conf.png"))
+
+    path = write_eval_video(d, [frame, frame])
+    assert os.path.exists(path)
+    assert os.path.dirname(path).endswith("video_out")
+
+
+def test_aggregate_depth_errors_is_per_view_mean():
+    """evaluation/eval.py:200-207 means compute_errors over views, not over
+    concatenated pixels — views with different pixel counts weigh equally."""
+    from nope_nerf_tpu.evaluation.image_eval import aggregate_depth_errors
+    from nope_nerf_tpu.utils.metrics import compute_errors
+
+    a = {"depth_errors": compute_errors(np.array([2.0, 2.0]),
+                                        np.array([1.0, 1.0]))}
+    b = {"depth_errors": compute_errors(np.full(100, 4.0), np.full(100, 4.0))}
+    out = aggregate_depth_errors([a, b])
+    np.testing.assert_allclose(out["abs_rel"], 0.25)  # (0.5 + 0.0) / 2
+
+
+def test_write_frustums_ply(tmp_path):
+    """PLY line-set export (information parity with the reference's Open3D
+    frustum viewer, utils_poses/vis_cam_traj.py:31-62): vertex/edge counts and
+    header must be consistent and parseable."""
+    from nope_nerf_tpu.cli.vis_poses import write_frustums_ply
+
+    c2ws = _random_traj(3, seed=11)
+    path = write_frustums_ply([c2ws, c2ws], ["green", "red"], 120, 160,
+                              100.0, 100.0, str(tmp_path / "f.ply"))
+    lines = open(path).read().splitlines()
+    assert lines[0] == "ply" and "end_header" in lines
+    nv = int(next(l for l in lines if l.startswith("element vertex")).split()[-1])
+    ne = int(next(l for l in lines if l.startswith("element edge")).split()[-1])
+    # per trajectory: 3 cams x 8 segs x 2 verts + 3 polyline verts = 51
+    assert nv == 2 * (3 * 8 * 2 + 3)
+    # per trajectory: 3*8 frustum edges + 2 polyline edges = 26
+    assert ne == 2 * (3 * 8 + 2)
+    body = lines[lines.index("end_header") + 1:]
+    assert len(body) == nv + ne
+    ax, ay, az, r, g, b = body[0].split()
+    assert (int(r), int(g), int(b)) == (0, 180, 0)
+    v1, v2 = map(int, body[nv].split())
+    assert 0 <= v1 < nv and 0 <= v2 < nv
