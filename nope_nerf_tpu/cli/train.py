@@ -123,6 +123,7 @@ def train(cfg: dict, synthetic: bool = False, max_epochs: Optional[int] = None):
 
     # resume
     epoch_it, it = -1, -1
+    psnr_best = float("-inf")
     scheduling_start = t_cfg["scheduling_start"]
     auto = AutoScheduler(length_smooth=t_cfg["length_smooth"],
                          patient=t_cfg["patient"])
@@ -133,6 +134,7 @@ def train(cfg: dict, synthetic: bool = False, max_epochs: Optional[int] = None):
         epoch_it = scalars.get("epoch_it", -1)
         it = int(state.it)
         scheduling_start = scalars.get("scheduling_start", scheduling_start)
+        psnr_best = scalars.get("psnr_best", psnr_best)
         auto.load_state_dict(scalars)
         if scalars.get("occ_grid") is not None:
             # resume the EMA occupancy grid — rebuilding from all-ones would
@@ -143,7 +145,7 @@ def train(cfg: dict, synthetic: bool = False, max_epochs: Optional[int] = None):
 
     def ckpt_scalars(ep, sched_start):
         sc = {"epoch_it": ep, "scheduling_start": sched_start,
-              **auto.state_dict()}
+              "psnr_best": psnr_best, **auto.state_dict()}
         if trainer.occ_grid is not None:
             sc["occ_grid"] = np.asarray(trainer.occ_grid)
         return sc
@@ -276,7 +278,7 @@ def train(cfg: dict, synthetic: bool = False, max_epochs: Optional[int] = None):
             # One scalar readback per epoch so the throughput meter measures
             # device completion, not async dispatch (block_until_ready is not
             # reliable on every transport).
-            float(lds["loss"][-1])
+            last_loss = float(lds["loss"][-1])
             timer.tick_many(len(order))
             l2_epoch.append(lds["l2_mean"])
             lds_np = None  # one bulk transfer, only if some hook needs it
@@ -305,6 +307,16 @@ def train(cfg: dict, synthetic: bool = False, max_epochs: Optional[int] = None):
                 run_it_hooks(it, state,
                              lambda ld=ld: {k: float(v) for k, v in ld.items()},
                              int(batch["idx"]), int(batch["ref_idx"]))
+            last_loss = float(ld["loss"])
+
+        if not np.isfinite(last_loss):
+            # Divergence guard: the reference breakpoint()s on a NaN loss
+            # (losses.py:213-214) — useless unattended. Abort loudly instead;
+            # the last periodic checkpoint predates the epoch that diverged.
+            raise FloatingPointError(
+                f"non-finite loss ({last_loss}) at epoch {epoch_it}, it {it}; "
+                f"training aborted. Last good checkpoint: "
+                f"{os.path.join(out_dir, t_cfg['load_dir'])}")
 
         if eval_pose_every > 0 and epoch_it % eval_pose_every == 0 and mc.pose:
             learned = np.asarray(pose_c2w_all(state.params["pose"], mc.pose))
@@ -321,6 +333,12 @@ def train(cfg: dict, synthetic: bool = False, max_epochs: Optional[int] = None):
             print(f"{epoch_it:6d} ep: Train PSNR {psnr:.3f}")
             if writer:
                 writer.add_scalar("train/psnr", psnr, it)
+            if psnr > psnr_best:
+                # best-PSNR checkpoint (the reference's unused helper,
+                # model/checkpoints.py:43-53 — implemented here for real)
+                psnr_best = psnr
+                save_checkpoint(out_dir, "model_best.ckpt", state,
+                                ckpt_scalars(epoch_it, scheduling_start))
 
         if t_cfg["auto_scheduler"]:
             scheduling_start = auto.update(psnr, epoch_it, scheduling_start)

