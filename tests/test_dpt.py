@@ -8,6 +8,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the fast tier
+
 torch = pytest.importorskip("torch")
 import torch.nn.functional as F  # noqa: E402
 
@@ -210,3 +212,63 @@ def test_preprocess_cli_random_weights(tmp_path):
     assert "depth_0000.npz" in files and "depth_0001.npz" in files
     d = np.load(os.path.join(out_dir, "depth_0000.npz"))["pred"]
     assert d.ndim == 2 and np.isfinite(d).all()
+
+
+def test_convert_full_inventory_roundtrip_and_coverage(monkeypatch):
+    """De-risk real-checkpoint conversion (no MiDaS file ships in this image):
+    synthesize a torch-layout state dict with the full dpt_hybrid key inventory
+    (module tree per /root/reference/DPT/dpt/vit.py:501 + models.py:93-212,
+    plus the final ViT LayerNorm the real checkpoint carries but inference
+    never reads), round-trip it through convert_torch_state_dict, and assert
+    the forward touches EXACTLY the converted keys — any missing, misshapen,
+    or silently-dropped parameter mapping fails here."""
+    cfg = DPTConfig()
+    ref = init_dpt_params(jax.random.key(0), cfg)
+
+    # JAX layout -> torch layout (conv HWIO->OIHW, linear (in,out)->(out,in))
+    sd = {}
+    for k, v in ref.items():
+        v = np.asarray(v)
+        if k.endswith(".weight") and v.ndim == 4:
+            sd[k] = np.transpose(v, (3, 2, 0, 1))
+        elif k.endswith(".weight") and v.ndim == 2:
+            sd[k] = v.T
+        else:
+            sd[k] = v
+    unused = {  # present in the real file, unread by DPT inference
+        "pretrained.model.norm.weight": np.ones(cfg.vit_dim, np.float32),
+        "pretrained.model.norm.bias": np.zeros(cfg.vit_dim, np.float32),
+    }
+    sd.update(unused)
+
+    converted = convert_torch_state_dict(sd)
+    assert set(converted) == set(ref) | set(unused)
+    for k, v in ref.items():  # layout round-trip must be exact
+        np.testing.assert_array_equal(np.asarray(converted[k]), np.asarray(v))
+
+    class Tracking(dict):
+        touched: set = set()
+
+        def __getitem__(self, k):
+            Tracking.touched.add(k)
+            return super().__getitem__(k)
+
+    # stop_gradient would rebuild the dict and drop the subclass; value-
+    # equivalent passthrough for the tracked forward
+    monkeypatch.setattr(jax.lax, "stop_gradient", lambda x: x)
+    Tracking.touched = set()
+    img = jnp.linspace(-1, 1, 1 * 96 * 128 * 3).reshape(1, 96, 128, 3)
+    out = dpt_apply(Tracking(converted), img.astype(jnp.float32), cfg)
+    assert out.shape[0] == 1 and np.isfinite(np.asarray(out)).all()
+
+    # refinenet4 gets no skip input (models.py:155-158), so its resConfUnit1
+    # is dead weight in the reference too (blocks.py:110-115 applies it only
+    # when a second input exists) — the real checkpoint still carries it
+    ref_unused = {k for k in ref
+                  if k.startswith("scratch.refinenet4.resConfUnit1.")}
+    missing = set(ref) - Tracking.touched - ref_unused
+    assert not missing, f"params never consumed: {sorted(missing)[:8]}"
+    extra = Tracking.touched - set(converted)
+    assert not extra, f"forward read unmapped keys: {sorted(extra)[:8]}"
+    # and the ONLY unconsumed checkpoint keys are the documented unused sets
+    assert set(converted) - Tracking.touched == set(unused) | ref_unused

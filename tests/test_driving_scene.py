@@ -11,6 +11,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the fast tier
+
 from nope_nerf_tpu.config import load_config
 from nope_nerf_tpu.data import DataField, make_driving_scene, write_vkitti_scene
 from nope_nerf_tpu.evaluation.pose_eval import revert_to_metric
@@ -97,8 +99,9 @@ def test_full_cli_chain_on_disk(disk_scene, tmp_path):
 
 
 def test_crop_size_pipeline(disk_scene):
-    """crop_size: images border-cropped then resized back (images_cropped/),
-    focal scaled by 1/focal_crop_factor, GT depths cropped to match
+    """crop_size: images border-cropped then resized back (cache dir keyed by
+    crop_size so a different setting never reuses stale pixels), focal scaled
+    by 1/focal_crop_factor, GT depths cropped to match
     (reference common.py:96-114, :293-297, dataset.py:56-57,79-80)."""
     root, scene = disk_scene
     crop = 4
@@ -108,7 +111,7 @@ def test_crop_size_pipeline(disk_scene):
                                                  "crop_size": crop}})
     field = DataField.from_cfg(cfg, mode="all")
     sd = field.scene
-    assert os.path.isdir(os.path.join(root, "drive", "images_cropped"))
+    assert os.path.isdir(os.path.join(root, "drive", f"images_cropped_{crop}"))
     assert sd.imgs.shape == (n, h, w, 3)  # resized back to original size
 
     # focal zoom: fx' = fx / ((h - 2*crop)/h)

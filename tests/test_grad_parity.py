@@ -12,6 +12,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the fast tier
+
 torch = pytest.importorskip("torch")
 
 from nope_nerf_tpu.models.nerf import NerfConfig, init_nerf_params

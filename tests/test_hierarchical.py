@@ -1,6 +1,9 @@
 """Hierarchical (importance) sampling tests — TPU-build extension (north star)."""
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the fast tier
 import jax
 import jax.numpy as jnp
 

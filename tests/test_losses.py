@@ -118,6 +118,7 @@ def test_depth_consistency_golden():
     np.testing.assert_allclose(got, np.abs(d1p - d2).sum() / 50, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_compute_losses_weighted_total():
     rng = np.random.RandomState(8)
     n = 64

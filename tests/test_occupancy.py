@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the fast tier
+
 from nope_nerf_tpu.config import load_config
 from nope_nerf_tpu.models.nerf import NerfConfig, init_nerf_params
 from nope_nerf_tpu.ops.occupancy import (
@@ -267,3 +269,42 @@ def test_resume_with_occupancy_disabled_stays_disabled(tmp_path):
     _, tr, _ = train(load_config(overrides=over_off), synthetic=True,
                      max_epochs=3)  # resumes from the occupancy checkpoint
     assert tr.occ_grid is None
+
+
+def test_ndc_disables_occupancy(capsys):
+    """With sample_option=ndc the NDC branch owns z-sampling (ops/render.py),
+    so occupancy must be disabled up front — not EMA-updated into dead weight
+    every epoch."""
+    from nope_nerf_tpu.training import ModelConfigs, Trainer, create_train_state
+
+    cfg = load_config(overrides={
+        "model": {"hidden_dim": 32},
+        "rendering": {"num_points": 8, "occupancy_grid": True,
+                      "sample_option": "ndc"},
+    })
+    mc = ModelConfigs.from_cfg(cfg, num_cams=2)
+    state, optimizers = create_train_state(jax.random.key(0), mc)
+    trainer = Trainer(cfg, mc, optimizers)
+    assert "ignored with sample_option=ndc" in capsys.readouterr().out
+    trainer.update_occupancy(state, epoch=0)
+    assert trainer.occ_grid is None  # never created
+    trainer.set_occupancy_grid(make_occupancy_grid(16))
+    assert trainer.occ_grid is None  # checkpoint grid ignored too
+
+
+def test_set_occupancy_grid_resolution_mismatch_warns(capsys):
+    """A checkpointed grid of a different resolution rules the rest of the run
+    (update_occupancy never recreates a non-None grid) — must say so."""
+    from nope_nerf_tpu.training import ModelConfigs, Trainer, create_train_state
+
+    cfg = load_config(overrides={
+        "model": {"hidden_dim": 32},
+        "rendering": {"num_points": 8, "occupancy_grid": True,
+                      "occupancy_res": 32},
+    })
+    mc = ModelConfigs.from_cfg(cfg, num_cams=2)
+    _, optimizers = create_train_state(jax.random.key(0), mc)
+    trainer = Trainer(cfg, mc, optimizers)
+    trainer.set_occupancy_grid(make_occupancy_grid(16))
+    assert trainer.occ_grid.shape == (16, 16, 16)  # kept, but loudly
+    assert "keeping the checkpoint's resolution" in capsys.readouterr().out

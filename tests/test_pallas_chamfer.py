@@ -1,6 +1,9 @@
 """Pallas Chamfer kernel vs the XLA-scan reference path (interpret mode)."""
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the fast tier
 import jax
 import jax.numpy as jnp
 

@@ -6,6 +6,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the fast tier
+
 from jax.experimental.pallas import tpu as pltpu
 
 from nope_nerf_tpu.models.nerf import NerfConfig, init_nerf_params, nerf_apply

@@ -10,6 +10,9 @@ gradients). The only tolerated deviation is the exp(sum(log)) cumprod
 import dataclasses
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the fast tier
 import jax
 import jax.flatten_util
 import jax.numpy as jnp

@@ -7,6 +7,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the fast tier
+
 from nope_nerf_tpu.config import load_config
 from nope_nerf_tpu.data import make_synthetic_scene, SceneData, batch_for_frame
 from nope_nerf_tpu.parallel import make_mesh

@@ -7,6 +7,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the fast tier
+
 from nope_nerf_tpu.models.nerf import NerfConfig, init_nerf_params, nerf_density
 from nope_nerf_tpu.ops.phong import get_sphere_intersection, ray_marching, phong_render
 from nope_nerf_tpu.geometry import pixel_grid
