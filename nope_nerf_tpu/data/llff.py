@@ -165,7 +165,10 @@ def load_llff_data(basedir: str, factor: Optional[int] = None,
     exts = (".jpg", ".jpeg", ".png", ".JPG", ".PNG")
     names = sorted(f for f in os.listdir(img_dir) if f.endswith(exts))
     if crop_size != 0 and names:
-        crop_dir = os.path.join(basedir, "images_cropped")
+        # keyed by crop_size: a cache generated under a different
+        # dataloading.crop_size must not be silently reused (the K and depth
+        # adjustments from crop_factors would no longer match the pixels)
+        crop_dir = os.path.join(basedir, f"images_cropped_{crop_size}")
         if not os.path.isdir(crop_dir) or len(os.listdir(crop_dir)) < len(names):
             os.makedirs(crop_dir, exist_ok=True)
             for f in names:
@@ -221,8 +224,11 @@ def crop_factors(basedir: str, crop_size: int) -> Tuple[float, float]:
         return 1.0, 1.0
     import cv2
     img_dir = os.path.join(basedir, "images")
-    name = sorted(os.listdir(img_dir))[0]
-    h0 = cv2.imread(os.path.join(img_dir, name), cv2.IMREAD_COLOR).shape[0]
+    exts = (".jpg", ".jpeg", ".png", ".JPG", ".PNG")
+    names = sorted(f for f in os.listdir(img_dir) if f.endswith(exts))
+    if not names:
+        raise FileNotFoundError(f"no images under {img_dir}")
+    h0 = cv2.imread(os.path.join(img_dir, names[0]), cv2.IMREAD_COLOR).shape[0]
     return crop_size / h0, (h0 - 2 * crop_size) / h0
 
 

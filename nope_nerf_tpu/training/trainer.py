@@ -525,6 +525,14 @@ class Trainer:
         self._occ_res = int(r.get("occupancy_res", 64))
         self._occ_decay = float(r.get("occupancy_decay", 0.95))
         self._occ_update_every = int(r.get("occupancy_update_every", 1))
+        if self._occ_enabled and self.mc.render.sample_option == "ndc":
+            # the NDC branch takes sampling priority (ops/render.py z_val
+            # selection) — keeping the grid would only burn a 262k-point
+            # density query per epoch and bloat checkpoints
+            print("WARNING: rendering.occupancy_grid is ignored with "
+                  "sample_option=ndc (NDC z-sampling takes priority); "
+                  "disabling occupancy for this run")
+            self._occ_enabled = False
 
     def lrs_at(self, epoch: int, scheduling_start: int) -> Dict[str, jnp.ndarray]:
         from .scheduler import lr_at_epoch
@@ -594,7 +602,14 @@ class Trainer:
         off. Globalized for multi-process runs."""
         if not self._occ_enabled:
             return
-        self.occ_grid = self._globalize(jnp.asarray(grid))
+        grid = jnp.asarray(grid)
+        if grid.shape[0] != self._occ_res:
+            # update_occupancy never recreates a non-None grid, so the
+            # checkpointed resolution would silently rule the whole run
+            print(f"WARNING: checkpointed occupancy grid is {grid.shape[0]}^3 "
+                  f"but rendering.occupancy_res={self._occ_res}; keeping the "
+                  "checkpoint's resolution for this run")
+        self.occ_grid = self._globalize(grid)
 
     def reset_occupancy(self) -> None:
         """Fresh all-ones grid (scheduling_mode=reset discards the field the
