@@ -74,7 +74,17 @@ def evaluate_poses(cfg: dict, vis: bool = False, synthetic: bool = False):
         ax.plot(*est_m[:, :3, 3].T, "r-o", ms=2, label="learned")
         ax.legend()
         fig.savefig(os.path.join(extraction_dir, "trajectory.png"), dpi=150)
-        print(f"saved {extraction_dir}/trajectory.png")
+        # exportable frustum geometry alongside the static figure — the
+        # information the reference's Open3D window shows
+        # (evaluation/eval_poses.py:166-315)
+        from .vis_poses import write_frustums_ply
+        h_img, w_img = scene.imgs.shape[1:3]
+        fx = float(scene.K[0, 0]) * w_img / 2.0
+        fy = float(-scene.K[1, 1]) * h_img / 2.0
+        ply = write_frustums_ply([gt_m, est_m], ["green", "red"], h_img, w_img,
+                                 fx, fy,
+                                 os.path.join(extraction_dir, "trajectory.ply"))
+        print(f"saved {extraction_dir}/trajectory.png and {ply}")
     return metrics
 
 

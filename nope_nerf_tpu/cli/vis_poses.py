@@ -42,6 +42,51 @@ def frustum_lines(c2ws: np.ndarray, h: int, w: int, fx: float, fy: float,
     return np.asarray(segs)
 
 
+_PLY_COLORS = {"green": (0, 180, 0), "red": (220, 30, 30),
+               "tab:blue": (31, 119, 180), "tab:orange": (255, 127, 14)}
+
+
+def write_frustums_ply(c2ws_list, colors, h, w, fx, fy, out_path: str,
+                       frustum_length: float = 0.1) -> str:
+    """Exportable frustum + trajectory geometry as an ASCII PLY line set
+    (vertex + edge elements, per-vertex color — loadable in MeshLab/Open3D).
+
+    Information parity with the reference's interactive Open3D viewer
+    (`utils_poses/vis_cam_traj.py:31-62`, `evaluation/eval_poses.py:166-315`):
+    the same asymmetric frustum wireframes, minus the live window (no Open3D /
+    display in this image).
+    """
+    verts, vcols, edges = [], [], []
+    for c2ws, color in zip(c2ws_list, colors):
+        rgb = _PLY_COLORS.get(color, (128, 128, 128))
+        segs = frustum_lines(np.asarray(c2ws), h, w, fx, fy,
+                             frustum_length).reshape(-1, 2, 3)
+        base = len(verts)
+        for a, b in segs:
+            verts += [a, b]
+            vcols += [rgb, rgb]
+        edges += [(base + 2 * i, base + 2 * i + 1) for i in range(len(segs))]
+        t = np.asarray(c2ws)[:, :3, 3]  # trajectory polyline
+        base = len(verts)
+        verts += list(t)
+        vcols += [rgb] * len(t)
+        edges += [(base + i, base + i + 1) for i in range(len(t) - 1)]
+
+    with open(out_path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n"
+                f"element vertex {len(verts)}\n"
+                "property float x\nproperty float y\nproperty float z\n"
+                "property uchar red\nproperty uchar green\nproperty uchar blue\n"
+                f"element edge {len(edges)}\n"
+                "property int vertex1\nproperty int vertex2\n"
+                "end_header\n")
+        for v, c in zip(verts, vcols):
+            f.write(f"{v[0]:.6f} {v[1]:.6f} {v[2]:.6f} {c[0]} {c[1]} {c[2]}\n")
+        for a, b in edges:
+            f.write(f"{a} {b}\n")
+    return out_path
+
+
 def draw_poses(c2ws_list, colors, labels, h, w, fx, fy, out_path: str,
                frustum_length: float = 0.1) -> None:
     import matplotlib
@@ -105,7 +150,9 @@ def visualize(cfg: dict, synthetic: bool = False) -> str:
     out_path = os.path.join(out_dir, "poses_vis.png")
     os.makedirs(out_dir, exist_ok=True)
     draw_poses(trajs, colors, labels, h, w, fx, fy, out_path)
-    print(f"saved {out_path}")
+    ply_path = write_frustums_ply(trajs, colors, h, w, fx, fy,
+                                  os.path.join(out_dir, "poses_vis.ply"))
+    print(f"saved {out_path} and {ply_path}")
     return out_path
 
 
