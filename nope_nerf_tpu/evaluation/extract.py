@@ -129,7 +129,7 @@ def render_trajectory(nerf_params, c2ws: np.ndarray, camera_mat, resolution,
     import jax
     import jax.numpy as jnp
 
-    from ..geometry.camera import pixel_grid
+    from ..geometry.camera import pixel_grid, rigid_inverse
     from ..ops.render import render_nope_nerf
 
     h, w = resolution
@@ -159,7 +159,7 @@ def render_trajectory(nerf_params, c2ws: np.ndarray, camera_mat, resolution,
     pending = None
     camera_mat = jnp.asarray(camera_mat)
     for vi, c2w in enumerate(c2ws):
-        world_mat = jnp.linalg.inv(jnp.asarray(c2w))
+        world_mat = rigid_inverse(jnp.asarray(c2w))
         rgbs, depths = [], []
         for i in range(0, n + pad, chunk):
             out = render_chunk(nerf_params, pixels_p[i:i + chunk], ones,

