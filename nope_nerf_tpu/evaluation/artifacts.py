@@ -142,5 +142,7 @@ def write_eval_video(render_dir: str, frames: List[np.ndarray],
         imageio.mimwrite(path, arr, fps=fps, quality=9)
     except Exception:
         path = os.path.join(vdir, "img.gif")
-        imageio.mimwrite(path, arr, duration=1000.0 / fps)
+        # integer milliseconds, like extract.py's duration=33 — a float here is
+        # read as seconds-per-frame by some installed imageio GIF writers
+        imageio.mimwrite(path, arr, duration=int(round(1000.0 / fps)), loop=0)
     return path

@@ -85,6 +85,10 @@ def aggregate_depth_errors(per_image: list) -> Dict[str, float]:
     views — NOT over the concatenated pixels)."""
     errs = np.array([d["depth_errors"] for d in per_image
                      if "depth_errors" in d])
+    if errs.size == 0:  # every view's validity mask was empty
+        nan = float("nan")
+        return {k: nan for k in ("abs_rel", "sq_rel", "rmse", "rmse_log",
+                                 "a1", "a2", "a3")}
     abs_rel, sq_rel, rmse, rmse_log, a1, a2, a3 = errs.mean(axis=0)
     return {"abs_rel": abs_rel, "sq_rel": sq_rel, "rmse": rmse,
             "rmse_log": rmse_log, "a1": a1, "a2": a2, "a3": a3}
