@@ -234,7 +234,7 @@ def _trainer_cfg(sc: Scenario) -> dict:
 # Reference side
 # ---------------------------------------------------------------------------
 
-def _reference_step(ref, sc: Scenario, scene):
+def _build_reference(ref, sc: Scenario, scene):
     tcfg = _trainer_cfg(sc)
     torch.manual_seed(11)
     mlp = ref.nerf.OfficialStaticNerf(
@@ -275,9 +275,15 @@ def _reference_step(ref, sc: Scenario, scene):
         wrapper, opt, tcfg, device=None, optimizer_pose=opt_pose,
         pose_param_net=pose_net, optimizer_focal=opt_focal, focal_net=focal_net,
         optimizer_distortion=opt_dist, distortion_net=dist_net)
+    return types.SimpleNamespace(trainer=trainer, wrapper=wrapper,
+                                 pose_net=pose_net, dist_net=dist_net,
+                                 focal_net=focal_net, tcfg=tcfg)
 
-    i, r = sc.img_idx, sc.ref_idx
-    data = {
+
+def _ref_data(scene, i, r):
+    """One collated DataLoader batch (B=1) as OurDataset emits it
+    (dataloading/dataset.py:285-342)."""
+    return {
         "img": torch.tensor(scene["imgs"][i].transpose(2, 0, 1))[None],
         "img.idx": torch.tensor([i]),
         "img.dpt": torch.tensor(scene["depths"][i])[None],
@@ -291,30 +297,49 @@ def _reference_step(ref, sc: Scenario, scene):
         "img.ref_pose_gt": torch.tensor(scene["c2ws_gt"][r])[None],
     }
 
+
+class _pinned_rng:
+    """Pin the step's two RNG draws: torch.randperm ray sampling (a callable
+    permutation source) and the stratified z jitter (forced off)."""
+
+    def __init__(self, ref, perm_fn):
+        self.ref = ref
+        self.perm_fn = perm_fn
+
+    def __enter__(self):
+        self.orig_randperm = torch.randperm
+        self.orig_sample = self.ref.rendering.Renderer.sample_uniform
+        perm_fn, orig_sample = self.perm_fn, self.orig_sample
+
+        def fixed_randperm(n, **kw):
+            assert n == H * W
+            return torch.tensor(perm_fn(), dtype=torch.long)
+
+        def no_noise_sample(self, cw, rv, zv, add_noise, dr):
+            return orig_sample(self, cw, rv, zv, False, dr)
+
+        torch.randperm = fixed_randperm
+        self.ref.rendering.Renderer.sample_uniform = no_noise_sample
+        return self
+
+    def __exit__(self, *exc):
+        torch.randperm = self.orig_randperm
+        self.ref.rendering.Renderer.sample_uniform = self.orig_sample
+        return False
+
+
+def _reference_step(ref, sc: Scenario, scene):
+    rb = _build_reference(ref, sc, scene)
+    trainer, tcfg = rb.trainer, rb.tcfg
+    wrapper, pose_net, dist_net, focal_net = (rb.wrapper, rb.pose_net,
+                                              rb.dist_net, rb.focal_net)
+    data = _ref_data(scene, sc.img_idx, sc.ref_idx)
     pre = _snapshot_ref_params(wrapper, pose_net, dist_net, focal_net)
 
-    # Pin the step's two RNG draws: ray sampling and stratified z noise.
-    perm = torch.tensor(scene["ray_perm"], dtype=torch.long)
-    orig_randperm = torch.randperm
-    orig_sample = ref.rendering.Renderer.sample_uniform
-
-    def fixed_randperm(n, **kw):
-        assert n == H * W
-        return perm
-
-    def no_noise_sample(self, cw, rv, zv, add_noise, dr):
-        return orig_sample(self, cw, rv, zv, False, dr)
-
-    torch.randperm = fixed_randperm
-    ref.rendering.Renderer.sample_uniform = no_noise_sample
-    try:
+    with _pinned_rng(ref, lambda: scene["ray_perm"]):
         loss_dict = trainer.train_step(data, it=sc.it, epoch=sc.epoch,
                                        scheduling_start=sc.scheduling_start,
                                        render_path=ref.render_dir)
-    finally:
-        torch.randperm = orig_randperm
-        ref.rendering.Renderer.sample_uniform = no_noise_sample.__wrapped__ \
-            if hasattr(no_noise_sample, "__wrapped__") else orig_sample
 
     post = _snapshot_ref_params(wrapper, pose_net, dist_net, focal_net)
     grads = _snapshot_ref_grads(wrapper, pose_net, dist_net, focal_net)
@@ -370,30 +395,15 @@ def _snapshot_ref_grads(wrapper, pose_net, dist_net, focal_net):
 # Our side
 # ---------------------------------------------------------------------------
 
-def _our_step(sc: Scenario, scene, ref_weights):
+def _build_ours(sc: Scenario, scene):
+    """(params, mc): our pytree mirroring the torch init + the static config."""
     from nope_nerf_tpu.losses import LossConfig
     from nope_nerf_tpu.models.distortions import DistortionConfig
     from nope_nerf_tpu.models.intrinsics import FocalConfig
     from nope_nerf_tpu.models.nerf import NerfConfig
     from nope_nerf_tpu.models.poses import PoseConfig
     from nope_nerf_tpu.ops.render import RenderConfig
-    from nope_nerf_tpu.training.scheduler import (annealed_weights,
-                                                  rgb_loss_type_at)
-    from nope_nerf_tpu.training.state import (ModelConfigs,
-                                              apply_updates_with_lr,
-                                              make_optimizer)
-    from nope_nerf_tpu.training.trainer import compute_step_loss
-
-    # the scheduler must reproduce the reference's anneal() weights exactly
-    tcfg = {**WEIGHT_PAIRS, "annealing_epochs": ANNEALING_EPOCHS}
-    ours_w = annealed_weights(tcfg, sc.scheduling_start, sc.epoch)
-    for name, want in ref_weights.items():
-        np.testing.assert_allclose(ours_w[name], want, rtol=1e-12,
-                                   err_msg=f"annealed weight {name}")
-    rgb_loss_type = rgb_loss_type_at(tcfg, sc.scheduling_start, sc.epoch)
-    want_type = ("l1" if sc.epoch < ANNEALING_EPOCHS + sc.scheduling_start
-                 else "l2")
-    assert rgb_loss_type == want_type
+    from nope_nerf_tpu.training.state import ModelConfigs
 
     # mirror the torch init through the same seeded MLP
     torch.manual_seed(11)
@@ -448,9 +458,11 @@ def _our_step(sc: Scenario, scene, ref_weights):
         detach_rgbs_scale=sc.detach_rgbs_scale, scale_pcs=True,
         use_sparse_depth_resample=False, chamfer_tile=16,
         stratified_noise=False)
+    return params, mc
 
-    i, r = sc.img_idx, sc.ref_idx
-    batch = {
+
+def _our_batch(scene, i, r):
+    return {
         "img": jnp.asarray(scene["imgs"][i]),
         "depth": jnp.asarray(scene["depths"][i]),
         "depth_mask": jnp.ones((H, W), bool),
@@ -463,6 +475,35 @@ def _our_step(sc: Scenario, scene, ref_weights):
         "ref_pose_gt": jnp.asarray(scene["c2ws_gt"][r]),
         "ref_idx": jnp.asarray(r),
     }
+
+
+def _our_schedule(sc_or_epoch, scheduling_start, ref_weights=None):
+    """Our annealed weights + rgb loss type for an epoch; cross-checked against
+    the reference's when given."""
+    from nope_nerf_tpu.training.scheduler import (annealed_weights,
+                                                  rgb_loss_type_at)
+    epoch = sc_or_epoch
+    tcfg = {**WEIGHT_PAIRS, "annealing_epochs": ANNEALING_EPOCHS}
+    ours_w = annealed_weights(tcfg, scheduling_start, epoch)
+    if ref_weights is not None:
+        for name, want in ref_weights.items():
+            np.testing.assert_allclose(ours_w[name], want, rtol=1e-12,
+                                       err_msg=f"annealed weight {name}")
+    rgb_loss_type = rgb_loss_type_at(tcfg, scheduling_start, epoch)
+    assert rgb_loss_type == ("l1" if epoch < ANNEALING_EPOCHS + scheduling_start
+                             else "l2")
+    return ours_w, rgb_loss_type
+
+
+def _our_step(sc: Scenario, scene, ref_weights):
+    from nope_nerf_tpu.training.state import (apply_updates_with_lr,
+                                              make_optimizer)
+    from nope_nerf_tpu.training.trainer import compute_step_loss
+
+    ours_w, rgb_loss_type = _our_schedule(sc.epoch, sc.scheduling_start,
+                                          ref_weights)
+    params, mc = _build_ours(sc, scene)
+    batch = _our_batch(scene, sc.img_idx, sc.ref_idx)
     ray_idx = jnp.asarray(scene["ray_perm"][:N_POINTS])
     weights = {k: jnp.asarray(v, jnp.float64) for k, v in ours_w.items()}
 
@@ -543,3 +584,123 @@ def test_train_step_matches_reference_trainer(ref, f64, sc):
     assert np.abs(want_grads["distortion/scale"]).max() > 0
     if sc.learn_focal:
         assert np.abs(want_grads["focal/fx"]).max() > 0
+
+
+# ---------------------------------------------------------------------------
+# Multi-step outcome parity: the reference training LOOP vs ours
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_multi_step_training_tracks_reference(ref, f64):
+    """Run the actual reference Trainer for 45 epochs x 4 frames (180 steps,
+    train.py:204-218's loop with the deterministic random_ref=1 frame schedule,
+    dataset.py:295-300) against our jitted step with persistent Adam state —
+    same init, same pinned ray draws, annealing window crossed mid-run
+    (l1 -> l2 switch at epoch 12). Asserts the full loss curves track, the
+    final pose/distortion parameters agree, and training actually converged.
+
+    This converts formula-level parity into training-OUTCOME parity: a
+    transposed pair ordering, a shift/scale mix-up, or an optimizer-state bug
+    too small to fail one step would compound over 180 steps and fail here.
+    """
+    import functools
+
+    from nope_nerf_tpu.training.state import (apply_updates_with_lr,
+                                              make_optimizer)
+    from nope_nerf_tpu.training.trainer import compute_step_loss
+
+    sc = Scenario("track", epoch=0, scheduling_start=2, img_idx=0, ref_idx=1)
+    epochs, ss = 45, 2
+    # reference frame schedule with random_ref=1 (deterministic): ref = i+1,
+    # last frame refs backward (dataset.py:295-300)
+    frame_pairs = [(i, i + 1 if i < N_CAMS - 1 else i - 1)
+                   for i in range(N_CAMS)]
+    n_steps = epochs * len(frame_pairs)
+    rng = np.random.RandomState(123)
+    perms = [rng.permutation(H * W) for _ in range(n_steps)]
+
+    # --- reference loop ----------------------------------------------------
+    scene = _make_scene(seed=7)
+    rb = _build_reference(ref, sc, scene)
+    it = [0]
+    ref_losses = []
+    with _pinned_rng(ref, lambda: perms[it[0]]):
+        for epoch in range(epochs):
+            for i, r in frame_pairs:
+                data = _ref_data(scene, i, r)
+                ld = rb.trainer.train_step(data, it=it[0], epoch=epoch,
+                                           scheduling_start=ss,
+                                           render_path=ref.render_dir)
+                ref_losses.append(float(ld["loss"].detach()))
+                it[0] += 1
+    ref_final = _snapshot_ref_params(rb.wrapper, rb.pose_net, rb.dist_net,
+                                     rb.focal_net)
+
+    # --- our loop (persistent optimizer state, jitted step) ----------------
+    params, mc = _build_ours(sc, scene)
+    opts = {g: make_optimizer(0.0) for g in params}
+    opt_state = {g: opts[g].init(params[g]) for g in params}
+    lrs = {g: LRS[g] for g in params}
+
+    @functools.partial(jax.jit, static_argnames=("rgb_loss_type",))
+    def step(params, opt_state, batch, weights, ray_idx, rgb_loss_type):
+        grads, loss_dict = jax.grad(compute_step_loss, has_aux=True)(
+            params, batch, weights, ray_idx, jax.random.key(0), mc,
+            rgb_loss_type, None)
+        new_params, new_opt = {}, {}
+        for g in params:
+            updates, new_opt[g] = opts[g].update(grads[g], opt_state[g],
+                                                 params[g])
+            new_params[g] = apply_updates_with_lr(params[g], updates, lrs[g])
+        return new_params, new_opt, loss_dict["loss"]
+
+    batches = {pair: _our_batch(scene, *pair) for pair in frame_pairs}
+    our_losses = []
+    k = 0
+    for epoch in range(epochs):
+        ours_w, rgb_loss_type = _our_schedule(epoch, ss)
+        weights = {n: jnp.asarray(v, jnp.float64) for n, v in ours_w.items()}
+        for pair in frame_pairs:
+            params, opt_state, loss = step(
+                params, opt_state, batches[pair], weights,
+                jnp.asarray(perms[k][:N_POINTS]), rgb_loss_type)
+            our_losses.append(float(loss))
+            k += 1
+
+    ref_losses = np.asarray(ref_losses)
+    our_losses = np.asarray(our_losses)
+
+    # Early steps are near-exact (measured 2e-11 before the first discrete
+    # event). Past that, the comparison is necessarily statistical: both
+    # implementations contain discrete selections (Chamfer nearest-neighbor
+    # argmin, project_to_cam validity, object masks) whose ties flip under
+    # ~1e-9 param drift, and a flip perturbs one step's gradient by O(1/N) —
+    # the reference diverges from a 1e-9-perturbed copy of ITSELF the same
+    # way. Measured over this run: per-step rel diff <= 0.8%, per-epoch-mean
+    # curve diff 0.11%, final loss diff 0.22%. Tolerances carry ~5-10x margin.
+    np.testing.assert_allclose(our_losses[:3], ref_losses[:3], rtol=1e-8)
+    epoch_mean_ref = ref_losses.reshape(epochs, -1).mean(axis=1)
+    epoch_mean_our = our_losses.reshape(epochs, -1).mean(axis=1)
+    np.testing.assert_allclose(epoch_mean_our, epoch_mean_ref, rtol=2e-2,
+                               err_msg="per-epoch loss curves diverged")
+    ref_fin, our_fin = ref_losses[-4:].mean(), our_losses[-4:].mean()
+    assert abs(our_fin - ref_fin) / ref_fin < 2e-2, (
+        f"final loss diverged: ours {our_fin} vs reference {ref_fin}")
+
+    # final parameters agree to the chaotic-drift envelope (measured: t 5.5%,
+    # r 10.9%, distortion <2% — scale-normalized)
+    tol = {"pose/t": 0.15, "pose/r": 0.3, "distortion/scale": 0.05,
+           "distortion/shift": 0.1}
+    for key, atol in tol.items():
+        want = ref_final[key]
+        got = {
+            "pose/t": params["pose"]["t"], "pose/r": params["pose"]["r"],
+            "distortion/scale": params["distortion"]["scale"],
+            "distortion/shift": params["distortion"]["shift"]}[key]
+        scale = max(np.abs(want).max(), 1e-12)
+        np.testing.assert_allclose(np.asarray(got) / scale, want / scale,
+                                   atol=atol, err_msg=f"final {key} diverged")
+
+    # outcome: training converged (not just matched) — measured 3.20 -> 0.58
+    assert our_losses[-8:].mean() < 0.3 * our_losses[:8].mean(), (
+        "loss did not drop; the tracking comparison is vacuous")
