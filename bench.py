@@ -8,57 +8,84 @@ photometric warp) with learned poses and distortions — i.e. the reference's
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is null: the reference publishes no numbers (BASELINE.json published={}).
 
-Robustness (the round-1 driver run died at rc=124 before printing): on this
-image the TPU is reached through a tunnel whose first execution/readback of a
-program sporadically stalls for minutes (measured 0.2 s .. 280 s for the same
-program), independent of compile time. Counter-measures here:
-  * persistent compilation cache in .jax_cache/ (compile becomes ~0.02 s when
-    warm; the cache directory is committed so driver runs start warm),
-  * exactly ONE warmup sync and ONE timed trial before the JSON line can be
-    printed — the minimum number of stall opportunities,
-  * a wall-clock deadline: extra refinement trials run only with time left,
-    and the JSON line is printed the moment the deadline would be at risk.
+Robustness: on this image the TPU is reached through a tunnel whose first
+execution/readback of a program sporadically stalls for minutes (measured
+0.2 s .. 343 s for the same program), independent of compile time — and a
+Python thread blocked inside a device readback cannot be interrupted, so a
+same-process deadline can only fire BETWEEN steps (the round-2 bench's tail
+shows warmup stalling until t=343 s with the 150 s deadline helpless).
+Counter-measures:
+  * persistent compilation cache in .jax_cache/ (compile ~0.02 s when warm;
+    the cache directory is committed so driver runs start warm),
+  * the measurement runs in a CHILD process that streams every completed
+    result (warmup, each trial) to this watchdog parent over a pipe;
+  * the parent owns the wall clock: at the deadline it emits the JSON from
+    whatever completed and kills the child — a readback stalled in the child
+    can no longer blow the whole budget. Only if NOTHING ever completed does
+    it emit value null at the last-resort deadline (still rc=0, so the
+    attempt is recorded).
+
+Self-test for the stall path: NOPE_BENCH_INJECT_STALL_S=300 makes the child
+hang after its first trial; the parent must still print a numeric JSON line
+and exit 0 within the deadline (tests/test_aux.py::test_bench_watchdog*).
 """
 
 from __future__ import annotations
 
 import json
+import multiprocessing as mp
+import os
 import sys
 import time
 
-import numpy as np
-
 T_START = time.perf_counter()
-# Print the JSON line once the process is this old, even if refinement
-# trials remain. The driver budget is unknown; round 1 died at >550 s with
-# tunnel stalls of up to ~280 s observed, so leave headroom for one stall.
-DEADLINE_S = 150.0
+# Parent-enforced deadline: emit the JSON once this old if >=1 trial landed.
+DEADLINE_S = float(os.environ.get("NOPE_BENCH_DEADLINE_S", 280.0))
+# If NOTHING completed (stalled warmup), keep hoping until this, then emit null.
+LAST_RESORT_S = float(os.environ.get("NOPE_BENCH_LAST_RESORT_S", 520.0))
 
 
 def _elapsed() -> float:
     return time.perf_counter() - T_START
 
 
-def main() -> None:
+def _measure(conn) -> None:
+    """Child process: run the benchmark, streaming every completed result."""
+    import numpy as np
+
     import jax
+
+    # Self-test hook: the image's sitecustomize pins the tunneled TPU backend
+    # regardless of JAX_PLATFORMS, so the CPU watchdog tests must override via
+    # jax.config (env vars are too late — see .claude/skills/verify).
+    if os.environ.get("NOPE_BENCH_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["NOPE_BENCH_PLATFORM"])
+
     import jax.numpy as jnp
 
     # Persistent compile cache: reruns (and driver runs after this round's
     # commits) skip XLA compilation entirely.
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
     from nope_nerf_tpu.config import load_config
-    from nope_nerf_tpu.data import SceneData, batch_for_frame, make_synthetic_scene
-    from nope_nerf_tpu.training import ModelConfigs, Trainer, create_train_state
+    from nope_nerf_tpu.data import (SceneData, epoch_order,
+                                    make_synthetic_scene)
+    from nope_nerf_tpu.training import (ModelConfigs, Trainer,
+                                        create_train_state)
 
-    h, w = 188, 621  # V-KITTI at resize_factor 2 (BASELINE.md)
-    n_rays = 1024
+    # NOPE_BENCH_TINY: CPU-runnable watchdog self-test shape (tests/test_aux.py)
+    tiny = bool(os.environ.get("NOPE_BENCH_TINY"))
+    h, w = (24, 32) if tiny else (188, 621)  # V-KITTI at resize_factor 2
+    n_rays = 64 if tiny else 1024
 
     cfg = load_config(overrides={
         "training": {"n_training_points": n_rays},
         "pose": {"learn_pose": True, "init_pose": True},
+        **({"tpu": {"use_pallas_renderer": False}} if tiny else {}),
     })
     scene = SceneData.from_dict(
         dict(make_synthetic_scene(n_frames=4, h=h, w=w))).to_device()
@@ -73,9 +100,8 @@ def main() -> None:
 
     # The production train path (cli/train with tpu.scan_steps, the default):
     # one lax.scan dispatch per epoch of full train steps.
-    from nope_nerf_tpu.data import epoch_order
-    epoch_len = 50  # steps per dispatch (one production epoch of a 50-frame
-    # scene); n_steps must be a multiple
+    epoch_len = 10 if tiny else 50  # steps per dispatch (one production epoch
+    # of a 50-frame scene); n_steps must be a multiple
     order, refs = epoch_order(scene.n_frames, shuffle=True, seed=0)
     order = np.resize(order, epoch_len)
     refs = np.resize(refs, epoch_len)
@@ -93,32 +119,81 @@ def main() -> None:
     # ONE warmup batch: absorbs compile (cache-hit ~0.02 s) plus the tunnel's
     # one-off first-execution penalty.
     state, _ = run_epochs(state, 1)
-    print(f"# warmup done at t={_elapsed():.1f}s", file=sys.stderr)
+    conn.send(("warmup", _elapsed()))
 
-    n_steps = 100
-    trials = []
-    t0 = time.perf_counter()
-    state, last = run_epochs(state, n_steps // epoch_len)
-    trials.append(time.perf_counter() - t0)
-
-    # Refinement: only while comfortably inside the deadline.
-    while len(trials) < 5 and _elapsed() + 3 * trials[-1] < DEADLINE_S:
+    n_steps = 20 if tiny else 100
+    inject = float(os.environ.get("NOPE_BENCH_INJECT_STALL_S", 0.0))
+    for trial in range(5):
         t0 = time.perf_counter()
         state, last = run_epochs(state, n_steps // epoch_len)
-        trials.append(time.perf_counter() - t0)
+        dt = time.perf_counter() - t0
+        conn.send(("trial", {"dt": dt, "n_steps": n_steps, "n_rays": n_rays,
+                             "loss": last}))
+        if inject:  # watchdog self-test: simulate a readback stall
+            time.sleep(inject)
+    conn.send(("done", None))
+    conn.close()
 
-    dt = min(trials)
-    rays_per_s = n_steps * n_rays / dt
+
+def _emit(trials) -> None:
+    if trials:
+        best = min(t["dt"] for t in trials)
+        t0 = trials[0]
+        value = round(t0["n_steps"] * t0["n_rays"] / best, 1)
+        note = (f"# {len(trials)} trials of {t0['n_steps']} steps, best "
+                f"{best:.2f}s = {t0['n_steps']/best:.2f} steps/s, "
+                f"loss={t0['loss']:.4f}, total t={_elapsed():.1f}s")
+    else:
+        value = None
+        note = f"# no trial completed before t={_elapsed():.1f}s (stall)"
     print(json.dumps({
         "metric": "rays/s/chip full train step (fwd+bwd, all losses)",
-        "value": round(rays_per_s, 1),
+        "value": value,
         "unit": "rays/s",
         "vs_baseline": None,
     }))
     sys.stdout.flush()
-    print(f"# {len(trials)} trials of {n_steps} steps, best {dt:.2f}s = "
-          f"{n_steps/dt:.2f} steps/s, loss={last:.4f}, total t={_elapsed():.1f}s",
-          file=sys.stderr)
+    print(note, file=sys.stderr)
+
+
+def main() -> None:
+    ctx = mp.get_context("spawn")  # fresh interpreter: no inherited jax state
+    parent, child = ctx.Pipe(duplex=False)
+    proc = ctx.Process(target=_measure, args=(child,), daemon=True)
+    proc.start()
+    child.close()
+
+    trials = []
+    done = False
+    while True:
+        if trials and _elapsed() >= DEADLINE_S:
+            break
+        if _elapsed() >= LAST_RESORT_S:
+            break
+        timeout = max(0.2, (DEADLINE_S if trials else LAST_RESORT_S)
+                      - _elapsed())
+        if not parent.poll(min(timeout, 5.0)):
+            if not proc.is_alive() and not parent.poll(0):
+                break  # child died (its exit is reported via missing 'done')
+            continue
+        try:
+            kind, payload = parent.recv()
+        except EOFError:
+            break
+        if kind == "warmup":
+            print(f"# warmup done at t={payload:.1f}s", file=sys.stderr)
+        elif kind == "trial":
+            trials.append(payload)
+        elif kind == "done":
+            done = True
+            break
+
+    _emit(trials)
+    if proc.is_alive():
+        proc.terminate()  # exact child PID — never a pattern kill
+        proc.join(timeout=5.0)
+        if proc.is_alive():
+            proc.kill()
 
 
 if __name__ == "__main__":

@@ -86,3 +86,43 @@ def test_summarize_trace(tmp_path):
     assert "wrapper" not in table          # it contains other events
     assert table["matmul"] == (0.035, 1.0)  # (40+30)/2 us -> ms
     assert table["copy"] == (0.005, 0.5)
+
+
+# ---------------------------------------------------------------------------
+# bench.py watchdog (the rc=124 tunnel-stall failure mode)
+# ---------------------------------------------------------------------------
+
+
+def _run_bench(extra_env, timeout):
+    import json
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env.update({"NOPE_BENCH_PLATFORM": "cpu", "NOPE_BENCH_TINY": "1"})
+    env.update(extra_env)
+    out = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__), "..",
+                                      "bench.py")],
+        capture_output=True, text=True, timeout=timeout, env=env)
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][0]
+    return json.loads(line)
+
+
+@pytest.mark.slow
+def test_bench_watchdog_emits_json_normally():
+    res = _run_bench({}, timeout=300)
+    assert res["unit"] == "rays/s"
+    assert res["value"] and res["value"] > 0
+
+
+@pytest.mark.slow
+def test_bench_watchdog_survives_injected_stall():
+    """A 300 s stall after the first trial must NOT block the JSON line: the
+    parent emits from the completed trial at its deadline and kills the child
+    (VERDICT round-2 item 5 — the rc=124 failure mode)."""
+    res = _run_bench({"NOPE_BENCH_INJECT_STALL_S": "300",
+                      "NOPE_BENCH_DEADLINE_S": "5"}, timeout=300)
+    assert res["value"] and res["value"] > 0
