@@ -651,7 +651,8 @@ class Trainer:
     def render_frame(self, state: TrainState, batch: Dict[str, jax.Array],
                      resolution: Tuple[int, int], chunk: int = 131072,
                      use_learned_pose: bool = True,
-                     sync: bool = True) -> Dict[str, Any]:
+                     sync: bool = True,
+                     rows: Optional[Tuple[int, int]] = None) -> Dict[str, Any]:
         """Full-frame eval render in fixed-size ray chunks (reference render_visdata,
         training.py:103-165). Returns {'rgb': (h,w,3), 'depth': (h,w)}.
 
@@ -666,7 +667,12 @@ class Trainer:
         Multi-frame callers overlap the next frame's compute with this frame's
         host readback — on remote-transport devices a per-frame sync costs more
         than the render itself (measured 345 -> ~190 ms/frame on the tunneled
-        v5e at 188x621)."""
+        v5e at 188x621).
+
+        rows=(lo, hi) renders only that row slab of the frame (the multi-host
+        eval tiling unit, SURVEY.md §2.9: each host renders disjoint image
+        tiles; see render_frame_multihost). Per-ray math is independent, so a
+        slab equals the same rows of a full-frame render."""
         import numpy as np
         h, w = resolution
         mc = self.mc
@@ -688,6 +694,13 @@ class Trainer:
         depth_resized = resize_area(depth_input[..., None], (h, w)).reshape(-1)
 
         _, pixels_all = pixel_grid((h, w))
+        if rows is not None:
+            lo, hi = rows
+            # depth prior resize stays FULL-frame (area weights depend on the
+            # whole image) — only the ray slab is cut
+            pixels_all = pixels_all[lo * w:hi * w]
+            depth_resized = depth_resized[lo * w:hi * w]
+            h = hi - lo
         n = h * w
         # Never render more padding than the kernel's 8-ray tile requires: for
         # frames smaller than `chunk`, a full-chunk pad would render up to 7x
@@ -728,6 +741,39 @@ class Trainer:
         rgb = np.concatenate([np.asarray(r) for r in pending["rgb_chunks"]])
         depth = np.concatenate([np.asarray(d) for d in pending["depth_chunks"]])
         return {"rgb": rgb[:n].reshape(h, w, 3), "depth": depth[:n].reshape(h, w)}
+
+    def render_frame_multihost(self, state: TrainState,
+                               batch: Dict[str, jax.Array],
+                               resolution: Tuple[int, int],
+                               chunk: int = 131072,
+                               use_learned_pose: bool = True) -> Dict[str, Any]:
+        """Full-frame eval render split into disjoint row tiles across hosts
+        (SURVEY.md §2.9): each process renders its host_image_tiles slab, the
+        slabs are allgathered, and EVERY host returns the identical assembled
+        frame (callers gate file IO on process 0 as usual). Single-process:
+        plain render_frame."""
+        import numpy as np
+        h, w = resolution
+        pc = jax.process_count()
+        if pc == 1:
+            return self.render_frame(state, batch, resolution, chunk=chunk,
+                                     use_learned_pose=use_learned_pose)
+        from ..parallel import host_image_tiles
+        lo, hi = host_image_tiles(h)
+        tile = self.render_frame(state, batch, resolution, chunk=chunk,
+                                 use_learned_pose=use_learned_pose,
+                                 rows=(lo, hi))
+        # equal-size slabs for the allgather: pad the (possibly short) last tile
+        per = (h + pc - 1) // pc
+        pad = per - (hi - lo)
+        rgb = np.pad(tile["rgb"], ((0, pad), (0, 0), (0, 0)))
+        depth = np.pad(tile["depth"], ((0, pad), (0, 0)))
+        from jax.experimental import multihost_utils
+        rgb_all = np.asarray(multihost_utils.process_allgather(
+            jnp.asarray(rgb))).reshape(pc * per, w, 3)[:h]
+        depth_all = np.asarray(multihost_utils.process_allgather(
+            jnp.asarray(depth))).reshape(pc * per, w)[:h]
+        return {"rgb": rgb_all, "depth": depth_all}
 
     def reprojection_pair(self, state: TrainState, batch: Dict[str, jax.Array]):
         """The photometric warp pair (rgb_pc1, rgb_pc1_proj, valid) as numpy images

@@ -2,8 +2,14 @@
 `num_processes` JAX processes, each owning 2 virtual CPU devices, jointly
 running the full sharded train step over the GLOBAL mesh.
 
-Usage: python multiprocess_worker.py <process_id> <num_processes> <port>
-Prints one line: MP_RESULT <process_id> <loss> <l2_mean> <nerf_grad_like_sum>
+Usage: python multiprocess_worker.py <process_id> <num_processes> <port> \
+           [mode] [outdir]
+mode 'train' (default) prints one line:
+    MP_RESULT <process_id> <loss> <l2_mean> <nerf_grad_like_sum>
+mode 'eval' runs the multi-host tiled full-frame eval render
+(Trainer.render_frame_multihost): each process renders its disjoint row slab,
+the assembled frame is allgathered, and every process writes
+<outdir>/frame_<pid>.npz (rgb, depth) plus its own raw tile.
 """
 
 import os
@@ -12,6 +18,8 @@ import sys
 
 def main() -> None:
     pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    mode = sys.argv[4] if len(sys.argv) > 4 else "train"
+    outdir = sys.argv[5] if len(sys.argv) > 5 else None
     local_devices = 2
     # ours must come LAST: with repeated flags XLA honors the final one (the
     # pytest parent exports ...=8 for its own virtual mesh)
@@ -52,6 +60,27 @@ def main() -> None:
                                               "compute_dtype": "float32"})})
     state, optimizers = create_train_state(jax.random.key(0), mc,
                                            init_c2w=jnp.asarray(scene.c2ws_gt))
+
+    if mode == "eval":
+        # Multi-host tiled eval render (render_frame_multihost): host-local
+        # state/params (replicated values, no global-mesh program — the tiled
+        # render is embarrassingly parallel; only the assembly allgathers).
+        from nope_nerf_tpu.parallel import host_image_tiles
+        h, w = 24, 32
+        batch = {k: jnp.asarray(v)
+                 for k, v in batch_for_frame(
+                     scene, 1, rng=np.random.RandomState(3)).items()}
+        local_trainer = Trainer(cfg, mc, optimizers)
+        frame = local_trainer.render_frame_multihost(state, batch, (h, w),
+                                                     chunk=256)
+        lo, hi = host_image_tiles(h)
+        tile = local_trainer.render_frame(state, batch, (h, w),
+                                          chunk=256, rows=(lo, hi))
+        np.savez(os.path.join(outdir, f"frame_{pid}.npz"),
+                 rgb=frame["rgb"], depth=frame["depth"],
+                 tile_rgb=tile["rgb"], tile_lo=lo, tile_hi=hi)
+        print(f"MP_RESULT {pid} ok", flush=True)
+        return
 
     mesh = make_mesh(nproc * local_devices)  # the GLOBAL mesh, spanning hosts
     trainer = Trainer(cfg, mc, optimizers, mesh=mesh)

@@ -90,3 +90,75 @@ def test_two_process_step_matches_single_process():
     ref = (float(ld["loss"]), float(ld["l2_mean"]),
            float(jnp.sum(jnp.abs(state.params["nerf"]["density_w"]))))
     np.testing.assert_allclose(results[0], ref, rtol=1e-6, atol=1e-7)
+
+
+def test_two_process_tiled_eval_matches_single_process(tmp_path):
+    """Multi-host eval tiling (VERDICT round-2 item 7): two processes each
+    render their disjoint row slab of a frame (render_frame rows=),
+    render_frame_multihost allgathers the slabs, and the assembled frame must
+    equal a single-process full-frame render BITWISE (per-ray math is
+    independent of the slab split)."""
+    port = _free_port()
+    env = {**os.environ, "PYTHONPATH": REPO + os.pathsep
+           + os.environ.get("PYTHONPATH", "")}
+    env.pop("JAX_PLATFORMS", None)
+    procs = [subprocess.Popen(
+        [sys.executable, WORKER, str(i), "2", str(port), "eval",
+         str(tmp_path)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
+        for i in range(2)]
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=540)
+            assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+            assert "MP_RESULT" in out
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+
+    f0 = np.load(tmp_path / "frame_0.npz")
+    f1 = np.load(tmp_path / "frame_1.npz")
+    # every host returns the identical assembled frame
+    np.testing.assert_array_equal(f0["rgb"], f1["rgb"])
+    np.testing.assert_array_equal(f0["depth"], f1["depth"])
+    # the tiles are disjoint and cover the frame
+    assert int(f0["tile_lo"]) == 0 and int(f1["tile_hi"]) == 24
+    assert int(f0["tile_hi"]) == int(f1["tile_lo"])
+    # each raw tile IS the matching slab of the assembled frame
+    np.testing.assert_array_equal(
+        f0["tile_rgb"], f0["rgb"][int(f0["tile_lo"]):int(f0["tile_hi"])])
+    np.testing.assert_array_equal(
+        f1["tile_rgb"], f0["rgb"][int(f1["tile_lo"]):int(f1["tile_hi"])])
+
+    # single-process reference: same deterministic construction, full frame
+    import jax
+    import jax.numpy as jnp
+
+    from nope_nerf_tpu.config import load_config
+    from nope_nerf_tpu.data import (SceneData, batch_for_frame,
+                                    make_synthetic_scene)
+    from nope_nerf_tpu.training import ModelConfigs, Trainer, create_train_state
+
+    cfg = load_config(overrides={
+        "model": {"hidden_dim": 32},
+        "rendering": {"num_points": 16},
+        "training": {"n_training_points": 64},
+        "pose": {"learn_pose": True, "init_pose": True},
+        "tpu": {"use_pallas_renderer": False},
+    })
+    scene = SceneData.from_dict(dict(make_synthetic_scene(n_frames=3, h=24,
+                                                          w=32)))
+    mc = ModelConfigs.from_cfg(cfg, num_cams=3)
+    mc = type(mc)(**{**mc.__dict__, "chamfer_tile": 64,
+                     "stratified_noise": False,
+                     "nerf": type(mc.nerf)(**{**mc.nerf.__dict__,
+                                              "compute_dtype": "float32"})})
+    state, optimizers = create_train_state(jax.random.key(0), mc,
+                                           init_c2w=jnp.asarray(scene.c2ws_gt))
+    trainer = Trainer(cfg, mc, optimizers)
+    batch = {k: jnp.asarray(v) for k, v in batch_for_frame(
+        scene, 1, rng=np.random.RandomState(3)).items()}
+    full = trainer.render_frame(state, batch, (24, 32), chunk=256)
+    np.testing.assert_array_equal(f0["rgb"], np.asarray(full["rgb"]))
+    np.testing.assert_array_equal(f0["depth"], np.asarray(full["depth"]))
