@@ -21,13 +21,18 @@ Counter-measures:
     result (warmup, each trial) to this watchdog parent over a pipe;
   * the parent owns the wall clock: at the deadline it emits the JSON from
     whatever completed and kills the child — a readback stalled in the child
-    can no longer blow the whole budget. Only if NOTHING ever completed does
-    it emit value null at the last-resort deadline (still rc=0, so the
-    attempt is recorded).
+    can no longer blow the whole budget;
+  * if NOTHING (not even warmup) completed by NOPE_BENCH_RETRY_S, the child is
+    killed and ONE fresh child is spawned — stalls are connection-level and a
+    new process opens a new tunnel connection (round-3 observation: one
+    process' first readback of a trivial program hung past 520 s). Only if
+    nothing ever completes does the parent emit value null at the last-resort
+    deadline (still rc=0, so the attempt is recorded).
 
-Self-test for the stall path: NOPE_BENCH_INJECT_STALL_S=300 makes the child
-hang after its first trial; the parent must still print a numeric JSON line
-and exit 0 within the deadline (tests/test_aux.py::test_bench_watchdog*).
+Self-tests: NOPE_BENCH_INJECT_STALL_S=300 makes the child hang after its first
+trial; NOPE_BENCH_INJECT_PREWARMUP_STALL_S hangs the FIRST child before
+warmup (exercising the retry). Either way the parent must print a numeric
+JSON line and exit 0 (tests/test_aux.py::test_bench_watchdog*).
 """
 
 from __future__ import annotations
@@ -43,14 +48,26 @@ T_START = time.perf_counter()
 DEADLINE_S = float(os.environ.get("NOPE_BENCH_DEADLINE_S", 280.0))
 # If NOTHING completed (stalled warmup), keep hoping until this, then emit null.
 LAST_RESORT_S = float(os.environ.get("NOPE_BENCH_LAST_RESORT_S", 520.0))
+# If NOTHING (not even warmup) completed by this, kill the child and start a
+# fresh one: tunnel stalls are connection-level, and a new process opens a new
+# connection (observed: one process' first readback hung >520 s while the
+# chip was otherwise healthy). One retry only; the fresh child still has
+# LAST_RESORT_S - RETRY_S to produce a trial.
+RETRY_S = float(os.environ.get("NOPE_BENCH_RETRY_S", 210.0))
 
 
 def _elapsed() -> float:
     return time.perf_counter() - T_START
 
 
-def _measure(conn) -> None:
+def _measure(conn, attempt: int = 0) -> None:
     """Child process: run the benchmark, streaming every completed result."""
+    # Self-test hook for the stalled-warmup retry path: the FIRST child hangs
+    # before ever touching jax; the retry child must complete normally.
+    pre = float(os.environ.get("NOPE_BENCH_INJECT_PREWARMUP_STALL_S", 0.0))
+    if pre and attempt == 0:
+        time.sleep(pre)
+
     import numpy as np
 
     import jax
@@ -156,44 +173,68 @@ def _emit(trials) -> None:
     print(note, file=sys.stderr)
 
 
-def main() -> None:
-    ctx = mp.get_context("spawn")  # fresh interpreter: no inherited jax state
+def _spawn(ctx, attempt: int = 0):
     parent, child = ctx.Pipe(duplex=False)
-    proc = ctx.Process(target=_measure, args=(child,), daemon=True)
+    proc = ctx.Process(target=_measure, args=(child, attempt), daemon=True)
     proc.start()
     child.close()
+    return parent, proc
 
-    trials = []
-    done = False
-    while True:
-        if trials and _elapsed() >= DEADLINE_S:
-            break
-        if _elapsed() >= LAST_RESORT_S:
-            break
-        timeout = max(0.2, (DEADLINE_S if trials else LAST_RESORT_S)
-                      - _elapsed())
-        if not parent.poll(min(timeout, 5.0)):
-            if not proc.is_alive() and not parent.poll(0):
-                break  # child died (its exit is reported via missing 'done')
-            continue
-        try:
-            kind, payload = parent.recv()
-        except EOFError:
-            break
-        if kind == "warmup":
-            print(f"# warmup done at t={payload:.1f}s", file=sys.stderr)
-        elif kind == "trial":
-            trials.append(payload)
-        elif kind == "done":
-            done = True
-            break
 
-    _emit(trials)
+def _stop(proc) -> None:
     if proc.is_alive():
         proc.terminate()  # exact child PID — never a pattern kill
         proc.join(timeout=5.0)
         if proc.is_alive():
             proc.kill()
+
+
+def main() -> None:
+    ctx = mp.get_context("spawn")  # fresh interpreter: no inherited jax state
+    parent, proc = _spawn(ctx)
+
+    trials = []
+    saw_any = False  # any completed result (warmup counts) from any child
+    retried = False
+    while True:
+        if trials and _elapsed() >= DEADLINE_S:
+            break
+        if _elapsed() >= LAST_RESORT_S:
+            break
+        if not saw_any and not retried and _elapsed() >= RETRY_S:
+            # connection-level tunnel stall: retry once in a fresh process
+            print(f"# nothing completed by t={_elapsed():.1f}s; "
+                  "restarting child (fresh tunnel connection)", file=sys.stderr)
+            _stop(proc)
+            parent, proc = _spawn(ctx, attempt=1)
+            retried = True
+            continue
+        timeout = max(0.2, (DEADLINE_S if trials else LAST_RESORT_S)
+                      - _elapsed())
+        if not saw_any and not retried:
+            timeout = max(0.2, min(timeout, RETRY_S - _elapsed()))
+        if not parent.poll(min(timeout, 5.0)):
+            if not proc.is_alive() and not parent.poll(0):
+                if retried or trials:
+                    break  # child died (its exit shows via missing 'done')
+                _stop(proc)
+                parent, proc = _spawn(ctx, attempt=1)  # crashed: one retry
+                retried = True
+            continue
+        try:
+            kind, payload = parent.recv()
+        except EOFError:
+            break
+        saw_any = True
+        if kind == "warmup":
+            print(f"# warmup done at t={payload:.1f}s", file=sys.stderr)
+        elif kind == "trial":
+            trials.append(payload)
+        elif kind == "done":
+            break
+
+    _emit(trials)
+    _stop(proc)
 
 
 if __name__ == "__main__":

@@ -197,6 +197,52 @@ def _encode_tile(rays, z_rs, R: int, S: int, pe_rows, de_rows):
     return A_pe, dF, vF
 
 
+def _lane_select_fast(A: jax.Array, levels: int) -> jax.Array:
+    """Single-trig-pass variant of _lane_select(mode='enc'): the cos-block lanes
+    get a pi/2 phase folded into the argument so ONE jnp.sin pass serves both
+    trig blocks (sin(x + pi/2) = cos(x)). f32 rounding of the phased argument
+    costs up to ~1.2e-4 absolute at encoding level 9 — fine for eval renders
+    (image metrics shift < 1e-3 dB, tests/test_pallas_render.py), NOT for the
+    5e-5 train-kernel parity bar. Eval-only, opt-in via fast_trig."""
+    dim = A.shape[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, dim), 1)
+    is_id = lane < 3
+    is_cos = (lane >= 3 + 3 * levels) & (lane < 3 + 6 * levels)
+    is_pad = lane >= 3 + 6 * levels
+    phase = jnp.where(is_cos, jnp.float32(np.pi / 2.0), 0.0)
+    out = jnp.where(is_id, A, jnp.sin(A + phase))
+    return jnp.where(is_pad, 0.0, out)
+
+
+def _encode_pe_fast_packed(rays, z_rs, R: int, S: int, pe_rows):
+    """Packed-lane fast position encoding: points (r, s) and (r, s + S/2) share
+    one 128-lane row (lanes 0:64 / 64:128), so the trig pass — and every other
+    elementwise op of the encoding — runs on (T/2, 128) fully-dense vregs
+    instead of (T, 64) half-dense ones: 4x less trig than the exact path's
+    sin+cos pair. Combined with the pi/2 phase fold (_lane_select_fast).
+    Returns pe (T, PE_DIM) bf16 in the standard point order."""
+    half = S // 2
+    oF = _ray_rows(rays, 0, pe_rows)                    # (R,64)
+    vF = _ray_rows(rays, 3, pe_rows)                    # (R,64)
+    o2 = jnp.concatenate([oF, oF], axis=-1)             # (R,128)
+    v2 = jnp.concatenate([vF, vF], axis=-1)
+    lane3 = jax.lax.broadcasted_iota(jnp.int32, (R, half, 2 * PE_DIM), 2)
+    zz = jnp.where(lane3 < PE_DIM, z_rs[:, :half, None], z_rs[:, half:, None])
+    A2 = o2[:, None, :] + zz * v2[:, None, :]           # (R,half,128)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R, half, 2 * PE_DIM), 2)
+    lane64 = lane % PE_DIM
+    is_id = lane64 < 3
+    is_cos = (lane64 >= 3 + 3 * 10) & (lane64 < 3 + 6 * 10)
+    is_pad = lane64 >= 3 + 6 * 10
+    phase = jnp.where(is_cos, jnp.float32(np.pi / 2.0), 0.0)
+    out = jnp.where(is_id, A2, jnp.sin(A2 + phase))
+    out = jnp.where(is_pad, 0.0, out)
+    # unpack to point order: lo half then hi half along the sample axis
+    pe3 = jnp.concatenate([out[:, :, :PE_DIM], out[:, :, PE_DIM:]], axis=1)
+    return _bf16(pe3.reshape(R * S, PE_DIM))
+
+
 def _de_broadcast(x_r, R: int, S: int):
     """(R,k) f32 -> (T,k) bf16 per-ray broadcast (f32 first: Mosaic cannot
     shape-cast bf16 across the middle dim)."""
@@ -205,7 +251,7 @@ def _de_broadcast(x_r, R: int, S: int):
 
 
 def _render_fwd_kernel(cfg: NerfConfig, dist_alpha: bool, want_aux: bool,
-                       R: int, S: int, rays_ref, z_ref, *refs):
+                       fast_trig: int, R: int, S: int, rays_ref, z_ref, *refs):
     aux = [r[:] for r in refs[:N_AUX]]
     pe_rows, de_rows = tuple(aux[0:4]), tuple(aux[4:8])
     ltS = aux[8]
@@ -216,8 +262,14 @@ def _render_fwd_kernel(cfg: NerfConfig, dist_alpha: bool, want_aux: bool,
     rays = rays_ref[:]
     z_rs = z_ref[:]
 
-    A_pe, dF, _ = _encode_tile(rays, z_rs, R, S, pe_rows, de_rows)
-    pe = _bf16(_lane_select(A_pe, 10, "enc"))
+    if fast_trig == 2 and S % 2 == 0:
+        pe = _encode_pe_fast_packed(rays, z_rs, R, S, pe_rows)
+        dF = _ray_rows(rays, 6, de_rows)
+    else:
+        A_pe, dF, _ = _encode_tile(rays, z_rs, R, S, pe_rows, de_rows)
+        enc = (_lane_select_fast(A_pe, 10) if fast_trig
+               else _lane_select(A_pe, 10, "enc"))
+        pe = _bf16(enc)
     de = _de_broadcast(_lane_select(dF, 4, "enc"), R, S)
 
     rgb_raw, sig_raw, _ = _fwd_chain(pe, de, W, B)
@@ -471,7 +523,8 @@ def _ray_tile_spec(cols, rows):
 
 
 def _raw_render_fwd(rays, z, weights, biases, cfg: NerfConfig,
-                    dist_alpha: bool, want_aux: bool = True):
+                    dist_alpha: bool, want_aux: bool = True,
+                    fast_trig: int = 0):
     n, S = z.shape
     R = RAYS_FWD
     grid = (n // R,)
@@ -485,7 +538,8 @@ def _raw_render_fwd(rays, z, weights, biases, cfg: NerfConfig,
         out_shape += [jax.ShapeDtypeStruct((n, S), jnp.float32),
                       jax.ShapeDtypeStruct((n, S), jnp.float32)]
     outs = pl.pallas_call(
-        functools.partial(_render_fwd_kernel, cfg, dist_alpha, want_aux, R, S),
+        functools.partial(_render_fwd_kernel, cfg, dist_alpha, want_aux,
+                          fast_trig, R, S),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         grid=grid,
@@ -579,28 +633,35 @@ def _render_fused_bwd(cfg, dist_alpha, res, g):
 render_rays_fused.defvjp(_render_fused_fwd, _render_fused_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def render_rays_fused_noaux(params, rays_packed, z, cfg: NerfConfig,
-                            dist_alpha: bool = False):
+                            dist_alpha: bool = False, fast_trig: int = 0):
     """render_rays_fused without the (N,S) weights/alpha outputs -> (rgb, dist).
 
     For eval/visualization renders nothing consumes weights/alpha, but pallas
     outputs are always materialized — at a 131k-ray eval chunk they are 128 MB
     of pure HBM-write waste per call. Gradients (used by test-time pose
     optimization) are identical: the backward kernel recomputes everything and
-    receives zero cotangents for the missing outputs."""
+    receives zero cotangents for the missing outputs.
+
+    fast_trig (eval-only approximation, see _lane_select_fast): 0 = exact
+    sin+cos (default), 1 = single-pass phase-folded trig, 2 = additionally
+    lane-packs two samples per 128-lane row for the whole encoding. The
+    backward recompute always uses exact trig (gradients are of the exact
+    function)."""
     per_ray, _, _ = _raw_render_fwd(
         rays_packed, z, *pack_weights(params, cfg), cfg=cfg,
-        dist_alpha=dist_alpha, want_aux=False)
+        dist_alpha=dist_alpha, want_aux=False, fast_trig=fast_trig)
     return per_ray[:, :3], per_ray[:, 3]
 
 
-def _render_noaux_fwd(params, rays_packed, z, cfg, dist_alpha):
-    out = render_rays_fused_noaux(params, rays_packed, z, cfg, dist_alpha)
+def _render_noaux_fwd(params, rays_packed, z, cfg, dist_alpha, fast_trig):
+    out = render_rays_fused_noaux(params, rays_packed, z, cfg, dist_alpha,
+                                  fast_trig)
     return out, (params, rays_packed, z)
 
 
-def _render_noaux_bwd(cfg, dist_alpha, res, g):
+def _render_noaux_bwd(cfg, dist_alpha, fast_trig, res, g):
     params, rays_packed, z = res
     g_rgb, g_dist = g
     zeros = jnp.zeros(z.shape, jnp.float32)

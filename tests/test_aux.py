@@ -126,3 +126,16 @@ def test_bench_watchdog_survives_injected_stall():
     res = _run_bench({"NOPE_BENCH_INJECT_STALL_S": "300",
                       "NOPE_BENCH_DEADLINE_S": "5"}, timeout=300)
     assert res["value"] and res["value"] > 0
+
+
+@pytest.mark.slow
+def test_bench_watchdog_retries_stalled_warmup():
+    """A first child whose warmup never completes (connection-level tunnel
+    stall, observed >520 s on a readback of a trivial program) must be killed
+    and replaced by a fresh child at NOPE_BENCH_RETRY_S; the retry child's
+    trials must produce a numeric JSON line."""
+    res = _run_bench({"NOPE_BENCH_INJECT_PREWARMUP_STALL_S": "600",
+                      "NOPE_BENCH_RETRY_S": "3",
+                      "NOPE_BENCH_DEADLINE_S": "240",
+                      "NOPE_BENCH_LAST_RESORT_S": "280"}, timeout=300)
+    assert res["value"] and res["value"] > 0
