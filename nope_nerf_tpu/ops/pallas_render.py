@@ -200,10 +200,14 @@ def _encode_tile(rays, z_rs, R: int, S: int, pe_rows, de_rows):
 def _lane_select_fast(A: jax.Array, levels: int) -> jax.Array:
     """Single-trig-pass variant of _lane_select(mode='enc'): the cos-block lanes
     get a pi/2 phase folded into the argument so ONE jnp.sin pass serves both
-    trig blocks (sin(x + pi/2) = cos(x)). f32 rounding of the phased argument
-    costs up to ~1.2e-4 absolute at encoding level 9 — fine for eval renders
-    (image metrics shift < 1e-3 dB, tests/test_pallas_render.py), NOT for the
-    5e-5 train-kernel parity bar. Eval-only, opt-in via fast_trig."""
+    trig blocks (sin(x + pi/2) = cos(x)). Measured on v5e: this alone saves
+    only ~2 ms/frame (Mosaic's sin+cos evidently share range reduction); the
+    win comes from fast_trig=2's lane packing, which halves the vregs the one
+    remaining trig pass touches (209 -> 186 ms full frame). f32 rounding of the
+    phased argument costs up to ~1e-3 absolute radiance at encoding level 9 —
+    fine for eval renders (image metrics shift ~5e-6 dB,
+    tests/test_pallas_render.py), NOT for the 5e-5 train-kernel parity bar.
+    Eval-only, opt-in via fast_trig."""
     dim = A.shape[-1]
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, dim), 1)
     is_id = lane < 3
@@ -215,22 +219,22 @@ def _lane_select_fast(A: jax.Array, levels: int) -> jax.Array:
 
 
 def _encode_pe_fast_packed(rays, z_rs, R: int, S: int, pe_rows):
-    """Packed-lane fast position encoding: points (r, s) and (r, s + S/2) share
-    one 128-lane row (lanes 0:64 / 64:128), so the trig pass — and every other
-    elementwise op of the encoding — runs on (T/2, 128) fully-dense vregs
-    instead of (T, 64) half-dense ones: 4x less trig than the exact path's
-    sin+cos pair. Combined with the pi/2 phase fold (_lane_select_fast).
+    """Packed-lane fast position encoding: the rays of the tile's two halves
+    share one 128-lane row (ray r in lanes 0:64, ray r + R/2 in 64:128), so
+    the trig pass runs on fully-dense 128-lane vregs instead of 64-lane ones:
+    4x less trig than the exact path's sin+cos pair, combined with the pi/2
+    phase fold (_lane_select_fast). The encoding args are built with the exact
+    path's (proven-lowerable) broadcast first; the pack/unpack are pure row
+    slices + lane concats with no broadcast after a slice (Mosaic's gather
+    lowering rejects slice-then-broadcast compositions).
     Returns pe (T, PE_DIM) bf16 in the standard point order."""
-    half = S // 2
+    half = R // 2
     oF = _ray_rows(rays, 0, pe_rows)                    # (R,64)
     vF = _ray_rows(rays, 3, pe_rows)                    # (R,64)
-    o2 = jnp.concatenate([oF, oF], axis=-1)             # (R,128)
-    v2 = jnp.concatenate([vF, vF], axis=-1)
-    lane3 = jax.lax.broadcasted_iota(jnp.int32, (R, half, 2 * PE_DIM), 2)
-    zz = jnp.where(lane3 < PE_DIM, z_rs[:, :half, None], z_rs[:, half:, None])
-    A2 = o2[:, None, :] + zz * v2[:, None, :]           # (R,half,128)
+    A = oF[:, None, :] + z_rs[:, :, None] * vF[:, None, :]   # (R,S,64)
+    A2 = jnp.concatenate([A[:half], A[half:]], axis=2)       # (R/2,S,128)
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (R, half, 2 * PE_DIM), 2)
+    lane = jax.lax.broadcasted_iota(jnp.int32, A2.shape, 2)
     lane64 = lane % PE_DIM
     is_id = lane64 < 3
     is_cos = (lane64 >= 3 + 3 * 10) & (lane64 < 3 + 6 * 10)
@@ -238,8 +242,8 @@ def _encode_pe_fast_packed(rays, z_rs, R: int, S: int, pe_rows):
     phase = jnp.where(is_cos, jnp.float32(np.pi / 2.0), 0.0)
     out = jnp.where(is_id, A2, jnp.sin(A2 + phase))
     out = jnp.where(is_pad, 0.0, out)
-    # unpack to point order: lo half then hi half along the sample axis
-    pe3 = jnp.concatenate([out[:, :, :PE_DIM], out[:, :, PE_DIM:]], axis=1)
+    # unpack to ray order: lanes 0:64 are rays [0, R/2), 64:128 are [R/2, R)
+    pe3 = jnp.concatenate([out[:, :, :PE_DIM], out[:, :, PE_DIM:]], axis=0)
     return _bf16(pe3.reshape(R * S, PE_DIM))
 
 
@@ -262,7 +266,7 @@ def _render_fwd_kernel(cfg: NerfConfig, dist_alpha: bool, want_aux: bool,
     rays = rays_ref[:]
     z_rs = z_ref[:]
 
-    if fast_trig == 2 and S % 2 == 0:
+    if fast_trig == 2 and R % 2 == 0:
         pe = _encode_pe_fast_packed(rays, z_rs, R, S, pe_rows)
         dF = _ray_rows(rays, 6, de_rows)
     else:
