@@ -75,7 +75,8 @@ def nearest_dists(src: jax.Array, dst: jax.Array, tile: int = 512) -> jax.Array:
         best_sq, best_idx, tile_idx = carry
         # d2 is swept in bf16: halves the (S, tile) VPU min/argmin width. Same
         # near-tie argument as the bf16 matmul above.
-        d2 = jnp.matmul(src_aug, _aug_dst(dst_tile).T).astype(jnp.bfloat16)
+        d2 = jnp.matmul(src_aug, _aug_dst(dst_tile).T,
+                        preferred_element_type=jnp.bfloat16)
         tile_min = jnp.min(d2, axis=-1).astype(src.dtype)
         tile_arg = jnp.argmin(d2, axis=-1) + tile_idx * tile
         take = tile_min < best_sq
@@ -120,7 +121,12 @@ def _nearest_idx_bidirectional(x: jax.Array, y: jax.Array,
     best_idx = jnp.zeros((s,), jnp.int32)
     col_idx = []
     for k in range(n_tiles):
-        d2 = jnp.matmul(x_aug, _aug_dst(tiles[k]).T).astype(jnp.bfloat16)
+        # preferred_element_type=bf16: the MXU still accumulates f32 and rounds
+        # once on output — bitwise the same values as matmul-f32-then-astype,
+        # at HALF the HBM traffic for the materialized (S, tile) block (the
+        # sweep is HBM-bound; scripts/profile_glue2.py)
+        d2 = jnp.matmul(x_aug, _aug_dst(tiles[k]).T,
+                        preferred_element_type=jnp.bfloat16)
         # row direction (x -> y): running min across tiles
         tile_min = jnp.min(d2, axis=1)
         tile_arg = jnp.argmin(d2, axis=1) + k * tile
@@ -138,16 +144,18 @@ def chamfer_loss(x: jax.Array, y: jax.Array, tile: int = 512,
     """mean_nn(x->y) + mean_nn(y->x), scalar. Reference: `get_pc_loss`,
     losses.py:116-123 (match_method='dense'). The bidirectional sweep shares one
     pass over the distance matrix — the matmul + d2 formation run once instead
-    of twice (the min/argmin reductions are unchanged); measured 0.63 -> 0.24 ms
-    inside the full v5e train step at the trainer's pc_ratio=4 shapes.
+    of twice (the min/argmin reductions are unchanged).
     Gradients flow through the exact recomputed distances
     of the matched pairs, into both clouds (gather/scatter — torch-autograd
-    parity where the argmin index is a constant). With use_pallas, the argmin
-    sweep runs as a VMEM-resident kernel (see pallas_chamfer.py)."""
-    if use_pallas:
-        from .pallas_chamfer import nearest_dists_pallas as nd
-        return jnp.mean(nd(x, y)) + jnp.mean(nd(y, x))
-    idx_xy, idx_yx = _nearest_idx_bidirectional(x, y, tile)
+    parity where the argmin index is a constant). With use_pallas, the sweep
+    runs as ONE VMEM-resident bidirectional kernel (pallas_chamfer
+    .nearest_idx_bidirectional_pallas) — the XLA path's (S, tile) distance
+    blocks round-trip through HBM, the kernel's never leave VMEM."""
+    if use_pallas and max(x.shape[0], y.shape[0]) <= 8192:
+        from .pallas_chamfer import nearest_idx_bidirectional_pallas
+        idx_xy, idx_yx = nearest_idx_bidirectional_pallas(x, y)
+    else:
+        idx_xy, idx_yx = _nearest_idx_bidirectional(x, y, tile)
     # safe_norm: exactly-coincident pairs (identity-init poses + quantized
     # GT depths) otherwise NaN the pose/distortion gradients
     d_x = safe_norm(x - y[idx_xy], axis=-1)

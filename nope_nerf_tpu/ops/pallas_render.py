@@ -46,6 +46,7 @@ lane multiple) fall back to ops/render.py's unfused path.
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import numpy as np
 
@@ -118,11 +119,14 @@ def _aux_inputs(S: int):
     return tuple(jnp.asarray(a) for a in pe + de + tri)
 
 
-def _lane_select(A: jax.Array, levels: int, mode: str) -> jax.Array:
+def _lane_select(A: jax.Array, levels: int, mode: str,
+                 lane: Optional[jax.Array] = None) -> jax.Array:
     """Apply the dense-lane encoding selector on arguments A ((1,dim)-row masks
-    broadcast over the tile)."""
-    dim = A.shape[-1]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, dim), 1)
+    broadcast over the tile). `lane` overrides the lane coordinate (used by
+    the packed variant, where each 128-lane row holds two 64-lane tiles)."""
+    if lane is None:
+        dim = A.shape[-1]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, dim), 1)
     is_id = lane < 3
     is_sin = (lane >= 3) & (lane < 3 + 3 * levels)
     is_pad = lane >= 3 + 6 * levels
@@ -132,6 +136,25 @@ def _lane_select(A: jax.Array, levels: int, mode: str) -> jax.Array:
     # derivative of the encoding wrt A
     out = jnp.where(is_id, 1.0, jnp.where(is_sin, jnp.cos(A), -jnp.sin(A)))
     return jnp.where(is_pad, 0.0, out)
+
+
+def _lane_select_packed(A3: jax.Array, levels: int, mode: str) -> jax.Array:
+    """EXACT _lane_select over a (R, S, dim) argument tensor, computed on
+    fully-dense 128-lane vregs: the tile's two ray halves share one row
+    (ray r in lanes 0:dim, ray r + R/2 in dim:2*dim), halving the vregs every
+    trig/select pass touches. Pack/unpack are row slices + concats only (no
+    broadcast after a slice — Mosaic's gather lowering rejects those).
+    Bitwise-identical values to the unpacked path — used by the TRAIN kernels
+    (5e-5 parity bar) as well as eval. Returns (R*S, dim)."""
+    R, S, dim = A3.shape
+    if R % 2 or dim > 64:
+        return _lane_select(A3.reshape(R * S, dim), levels, mode)
+    half = R // 2
+    A2 = jnp.concatenate([A3[:half], A3[half:]], axis=2)      # (R/2,S,2dim)
+    lane = jax.lax.broadcasted_iota(jnp.int32, A2.shape, 2) % dim
+    out = _lane_select(A2, levels, mode, lane=lane)
+    out3 = jnp.concatenate([out[:, :, :dim], out[:, :, dim:]], axis=0)
+    return out3.reshape(R * S, dim)
 
 
 def _fdot(a, b):
@@ -184,16 +207,15 @@ def _composite_forward(alpha, z_rs, ltS):
 
 
 def _encode_tile(rays, z_rs, R: int, S: int, pe_rows, de_rows):
-    """Per-tile encoding args A_pe (T,64) and the per-ray dir args dF (R,32),
+    """Per-tile encoding args A_pe (R,S,64) and the per-ray dir args dF (R,32),
     plus per-ray vF (R,64) — all via broadcasts; no matmuls, no per-point (·,3)
     arrays. The dir encoding stays PER-RAY (constant along a ray): its trig and
     select run on (R,32) and only the finished bf16 values are broadcast —
     measured ~0.5 ms/step cheaper than broadcasting the args."""
-    T = R * S
     oF = _ray_rows(rays, 0, pe_rows)      # (R,64)
     vF = _ray_rows(rays, 3, pe_rows)      # (R,64)
     dF = _ray_rows(rays, 6, de_rows)      # (R,32)
-    A_pe = (oF[:, None, :] + z_rs[:, :, None] * vF[:, None, :]).reshape(T, PE_DIM)
+    A_pe = oF[:, None, :] + z_rs[:, :, None] * vF[:, None, :]  # (R,S,64)
     return A_pe, dF, vF
 
 
@@ -271,9 +293,10 @@ def _render_fwd_kernel(cfg: NerfConfig, dist_alpha: bool, want_aux: bool,
         dF = _ray_rows(rays, 6, de_rows)
     else:
         A_pe, dF, _ = _encode_tile(rays, z_rs, R, S, pe_rows, de_rows)
-        enc = (_lane_select_fast(A_pe, 10) if fast_trig
-               else _lane_select(A_pe, 10, "enc"))
-        pe = _bf16(enc)
+        if fast_trig:
+            pe = _bf16(_lane_select_fast(A_pe.reshape(R * S, PE_DIM), 10))
+        else:
+            pe = _bf16(_lane_select_packed(A_pe, 10, "enc"))
     de = _de_broadcast(_lane_select(dF, 4, "enc"), R, S)
 
     rgb_raw, sig_raw, _ = _fwd_chain(pe, de, W, B)
@@ -355,7 +378,7 @@ def _backward_tail(cfg: NerfConfig, dist_alpha: bool, R: int, S: int,
                           dW_refs, dB_refs)
 
     # ---- encoding backward ---------------------------------------------------
-    dA3 = (dpe * _lane_select(A_pe, 10, "deriv")).reshape(R, S, PE_DIM)
+    dA3 = (dpe * _lane_select_packed(A_pe, 10, "deriv")).reshape(R, S, PE_DIM)
     # dir-encoding deriv is per-ray: reduce dde over samples FIRST, then mask
     dde_r = jnp.sum(dde.reshape(R, S, DE_DIM), axis=1)      # (R,32)
     d_dF = dde_r * _lane_select(dF, 4, "deriv")             # (R,32)
@@ -399,7 +422,7 @@ def _render_bwd_kernel(cfg: NerfConfig, dist_alpha: bool, R: int, S: int,
 
     # ---- forward recompute --------------------------------------------------
     A_pe, dF, vF = _encode_tile(rays, z_rs, R, S, pe_rows, de_rows)
-    pe = _bf16(_lane_select(A_pe, 10, "enc"))
+    pe = _bf16(_lane_select_packed(A_pe, 10, "enc"))
     de = _de_broadcast(_lane_select(dF, 4, "enc"), R, S)
     rgb_raw, sig_raw, acts = _fwd_chain(pe, de, W, B)
     alpha, occ, raw_rs, deltas = _alpha_forward(sig_raw, z_rs, R, S, cfg,
@@ -459,7 +482,7 @@ def _render_train_kernel(cfg: NerfConfig, dist_alpha: bool, rgb_p: int,
 
     # ---- forward recompute --------------------------------------------------
     A_pe, dF, vF = _encode_tile(rays, z_rs, R, S, pe_rows, de_rows)
-    pe = _bf16(_lane_select(A_pe, 10, "enc"))
+    pe = _bf16(_lane_select_packed(A_pe, 10, "enc"))
     de = _de_broadcast(_lane_select(dF, 4, "enc"), R, S)
     rgb_raw, sig_raw, acts = _fwd_chain(pe, de, W, B)
     alpha, occ, raw_rs, deltas = _alpha_forward(sig_raw, z_rs, R, S, cfg,

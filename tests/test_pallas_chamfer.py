@@ -63,3 +63,25 @@ def test_chamfer_pallas_grads_match():
         assert flipped.mean() < 0.02, f"{flipped.sum()} tie flips"
         np.testing.assert_allclose(np.asarray(gp)[~flipped],
                                    np.asarray(gr)[~flipped], atol=1e-4)
+
+
+def test_bidirectional_kernel_exact_argmins():
+    """The fused bidirectional kernel's packed int32 min-argmin must agree
+    with exact numpy argmins away from near-ties (the packing keeps ~2^-11
+    relative d2 resolution; random clouds have no such ties)."""
+    from nope_nerf_tpu.ops.pallas_chamfer import (
+        nearest_idx_bidirectional_pallas)
+
+    x, y = _clouds(s=700, d=900, seed=3)
+    xn, yn = np.asarray(x), np.asarray(y)
+    d2 = ((xn[:, None, :] - yn[None, :, :]) ** 2).sum(-1)
+    with pltpu.force_tpu_interpret_mode():
+        idx_xy, idx_yx = nearest_idx_bidirectional_pallas(x, y)
+    # compare matched distances (indices may differ only on exact ties)
+    np.testing.assert_allclose(
+        d2[np.arange(700), np.asarray(idx_xy)], d2.min(1), rtol=2e-3)
+    np.testing.assert_allclose(
+        d2[np.asarray(idx_yx), np.arange(900)], d2.min(0), rtol=2e-3)
+    # and on this data the argmins are in fact identical
+    assert (np.asarray(idx_xy) == d2.argmin(1)).mean() > 0.995
+    assert (np.asarray(idx_yx) == d2.argmin(0)).mean() > 0.995
