@@ -224,23 +224,27 @@ def main() -> None:
             break
         if _elapsed() >= LAST_RESORT_S:
             break
+        hold = False
         if not saw_any and not retried and _elapsed() >= RETRY_S:
             if _compiled_anything():
                 # the child reached the backend and is compiling (cold
                 # cache), not stalled — killing it would discard the
-                # in-flight compile; hold on
-                time.sleep(5.0)
+                # in-flight compile; hold on, but keep draining the pipe so
+                # a child that later completes warmup/trials still lands its
+                # results (a blind sleep here strands them until LAST_RESORT)
+                hold = True
+            else:
+                # connection-level tunnel stall: retry once, fresh process
+                print(f"# nothing completed by t={_elapsed():.1f}s; "
+                      "restarting child (fresh tunnel connection)",
+                      file=sys.stderr)
+                _stop(proc)
+                parent, proc = _spawn(ctx, attempt=1)
+                retried = True
                 continue
-            # connection-level tunnel stall: retry once in a fresh process
-            print(f"# nothing completed by t={_elapsed():.1f}s; "
-                  "restarting child (fresh tunnel connection)", file=sys.stderr)
-            _stop(proc)
-            parent, proc = _spawn(ctx, attempt=1)
-            retried = True
-            continue
         timeout = max(0.2, (DEADLINE_S if trials else LAST_RESORT_S)
                       - _elapsed())
-        if not saw_any and not retried:
+        if not saw_any and not retried and not hold:
             timeout = max(0.2, min(timeout, RETRY_S - _elapsed()))
         if not parent.poll(min(timeout, 5.0)):
             if not proc.is_alive() and not parent.poll(0):

@@ -111,10 +111,17 @@ def _tri_masks_np(S: int):
 
 N_AUX = 10  # 4 pe rows + 4 de rows + ltS + ltT
 
+# Frequency-encoding level counts (reference model/network/nope_nerf encodings:
+# 10 position octaves -> 63 dims, 4 direction octaves -> 27 dims). Every lane
+# select below derives its block boundaries from these, so changing a count
+# stays consistent across the exact, fast, and packed paths.
+PE_LEVELS = 10
+DE_LEVELS = 4
+
 
 def _aux_inputs(S: int):
-    pe = _enc_rows(10, PE_DIM)
-    de = _enc_rows(4, DE_DIM)
+    pe = _enc_rows(PE_LEVELS, PE_DIM)
+    de = _enc_rows(DE_LEVELS, DE_DIM)
     tri = _tri_masks_np(S)
     return tuple(jnp.asarray(a) for a in pe + de + tri)
 
@@ -259,8 +266,9 @@ def _encode_pe_fast_packed(rays, z_rs, R: int, S: int, pe_rows):
     lane = jax.lax.broadcasted_iota(jnp.int32, A2.shape, 2)
     lane64 = lane % PE_DIM
     is_id = lane64 < 3
-    is_cos = (lane64 >= 3 + 3 * 10) & (lane64 < 3 + 6 * 10)
-    is_pad = lane64 >= 3 + 6 * 10
+    is_cos = ((lane64 >= 3 + 3 * PE_LEVELS)
+              & (lane64 < 3 + 6 * PE_LEVELS))
+    is_pad = lane64 >= 3 + 6 * PE_LEVELS
     phase = jnp.where(is_cos, jnp.float32(np.pi / 2.0), 0.0)
     out = jnp.where(is_id, A2, jnp.sin(A2 + phase))
     out = jnp.where(is_pad, 0.0, out)
@@ -294,10 +302,10 @@ def _render_fwd_kernel(cfg: NerfConfig, dist_alpha: bool, want_aux: bool,
     else:
         A_pe, dF, _ = _encode_tile(rays, z_rs, R, S, pe_rows, de_rows)
         if fast_trig:
-            pe = _bf16(_lane_select_fast(A_pe.reshape(R * S, PE_DIM), 10))
+            pe = _bf16(_lane_select_fast(A_pe.reshape(R * S, PE_DIM), PE_LEVELS))
         else:
-            pe = _bf16(_lane_select_packed(A_pe, 10, "enc"))
-    de = _de_broadcast(_lane_select(dF, 4, "enc"), R, S)
+            pe = _bf16(_lane_select_packed(A_pe, PE_LEVELS, "enc"))
+    de = _de_broadcast(_lane_select(dF, DE_LEVELS, "enc"), R, S)
 
     rgb_raw, sig_raw, _ = _fwd_chain(pe, de, W, B)
 
@@ -378,10 +386,10 @@ def _backward_tail(cfg: NerfConfig, dist_alpha: bool, R: int, S: int,
                           dW_refs, dB_refs)
 
     # ---- encoding backward ---------------------------------------------------
-    dA3 = (dpe * _lane_select_packed(A_pe, 10, "deriv")).reshape(R, S, PE_DIM)
+    dA3 = (dpe * _lane_select_packed(A_pe, PE_LEVELS, "deriv")).reshape(R, S, PE_DIM)
     # dir-encoding deriv is per-ray: reduce dde over samples FIRST, then mask
     dde_r = jnp.sum(dde.reshape(R, S, DE_DIM), axis=1)      # (R,32)
-    d_dF = dde_r * _lane_select(dF, 4, "deriv")             # (R,32)
+    d_dF = dde_r * _lane_select(dF, DE_LEVELS, "deriv")             # (R,32)
     g_z = g_z + jnp.sum(dA3 * vF[:, None, :], axis=2)       # (R,S)
     d_oF = jnp.sum(dA3, axis=1)                             # (R,64)
     d_vF = jnp.sum(z_rs[:, :, None] * dA3, axis=1)          # (R,64)
@@ -422,8 +430,8 @@ def _render_bwd_kernel(cfg: NerfConfig, dist_alpha: bool, R: int, S: int,
 
     # ---- forward recompute --------------------------------------------------
     A_pe, dF, vF = _encode_tile(rays, z_rs, R, S, pe_rows, de_rows)
-    pe = _bf16(_lane_select_packed(A_pe, 10, "enc"))
-    de = _de_broadcast(_lane_select(dF, 4, "enc"), R, S)
+    pe = _bf16(_lane_select_packed(A_pe, PE_LEVELS, "enc"))
+    de = _de_broadcast(_lane_select(dF, DE_LEVELS, "enc"), R, S)
     rgb_raw, sig_raw, acts = _fwd_chain(pe, de, W, B)
     alpha, occ, raw_rs, deltas = _alpha_forward(sig_raw, z_rs, R, S, cfg,
                                                 dist_alpha)
@@ -482,8 +490,8 @@ def _render_train_kernel(cfg: NerfConfig, dist_alpha: bool, rgb_p: int,
 
     # ---- forward recompute --------------------------------------------------
     A_pe, dF, vF = _encode_tile(rays, z_rs, R, S, pe_rows, de_rows)
-    pe = _bf16(_lane_select_packed(A_pe, 10, "enc"))
-    de = _de_broadcast(_lane_select(dF, 4, "enc"), R, S)
+    pe = _bf16(_lane_select_packed(A_pe, PE_LEVELS, "enc"))
+    de = _de_broadcast(_lane_select(dF, DE_LEVELS, "enc"), R, S)
     rgb_raw, sig_raw, acts = _fwd_chain(pe, de, W, B)
     alpha, occ, raw_rs, deltas = _alpha_forward(sig_raw, z_rs, R, S, cfg,
                                                 dist_alpha)

@@ -39,22 +39,6 @@ R = jnp.eye(3) + 0.01 * jax.random.normal(ks[4], (3, 3))
 t = 0.1 * jax.random.normal(ks[5], (3,))
 
 
-def timed(name, f, *args, n=100):
-    """f(perturb_scalar, *args) -> scalar. Scan n times, chain via the carry."""
-    def body(c, _):
-        return c + f(c * 1e-20, *args), None
-
-    g = jax.jit(lambda a: jax.lax.scan(body, jnp.asarray(0.0, jnp.float32),
-                                       None, length=n)[0])
-    _ = float(g(*args) if not args else g())  # compile+run once
-    best = np.inf
-    for _ in range(3):
-        t0 = time.perf_counter()
-        _ = float(g())
-        best = min(best, time.perf_counter() - t0)
-    print(f"{name:46s} {best/n*1e3:7.3f} ms")
-
-
 def run(name, fn, n=100):
     def body(c, _):
         return c + fn(c * 1e-20), None
