@@ -206,12 +206,6 @@ DEFAULTS: Dict[str, Any] = {
         "compute_dtype": "bfloat16",  # MLP matmul operand dtype; 'float32' for exact reference parity
         "use_pallas_renderer": True,
         "use_pallas_chamfer": False,  # scan path measured equally fast on v5e
-        # Eval-only approximate trig in the fused forward kernel (0 exact /
-        # 1 phase-fold / 2 phase+packed; ops/pallas_render._lane_select_fast).
-        # Default exact: once the EXACT lane-packed encoding landed
-        # (_lane_select_packed) the approximation stopped paying — measured
-        # 182.2 (exact) vs 180.8 ms (fast=2) per 188x621 frame on v5e.
-        "fast_eval_trig": 0,
         "scan_steps": True,  # epoch as ONE lax.scan dispatch (see trainer.train_steps)
         "donate_state": True,
         "profile_dir": None,

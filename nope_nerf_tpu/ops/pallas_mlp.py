@@ -151,17 +151,19 @@ def _dot(a, b):
     return jax.lax.dot(a, b, preferred_element_type=jnp.float32)
 
 
-def _fwd_chain(pe, de, W, B):
-    """Shared forward math on one tile. pe (T,64) bf16, de (T,32) bf16.
-    Returns (rgb_raw f32 (T,128), sig_raw f32 (T,128), activations tuple bf16)."""
+def _fwd_tail(x0, pe4, de, W, B):
+    """Forward math after the first layer. x0 (T,D) bf16; pe4 (T,D) f32 is the
+    skip layer's pe contribution (pe @ w4pe); de (T,32) bf16. Shared by
+    _fwd_chain (lane-major pe) and the enc-major forward kernel in
+    pallas_render.py (which produces x0/pe4 from per-ray transpose_lhs dots).
+    Returns (rgb_raw f32 (T,128), sig_raw f32 (T,128), activations bf16)."""
     (w0, w01, w02, w03, w4x, w4pe, w41, w42, w43, wd, wf, wrx, wrde, wo) = W
     (b0, b01, b02, b03, b4, b41, b42, b43, bd, bf_, br, bo) = B
 
-    x0 = _bf16(jnp.maximum(_dot(pe, w0) + b0, 0.0))
     x1 = _bf16(jnp.maximum(_dot(x0, w01) + b01, 0.0))
     x2 = _bf16(jnp.maximum(_dot(x1, w02) + b02, 0.0))
     x3 = _bf16(jnp.maximum(_dot(x2, w03) + b03, 0.0))
-    x4 = _bf16(jnp.maximum(_dot(x3, w4x) + _dot(pe, w4pe) + b4, 0.0))
+    x4 = _bf16(jnp.maximum(_dot(x3, w4x) + pe4 + b4, 0.0))
     x5 = _bf16(jnp.maximum(_dot(x4, w41) + b41, 0.0))
     x6 = _bf16(jnp.maximum(_dot(x5, w42) + b42, 0.0))
     x7 = _bf16(jnp.maximum(_dot(x6, w43) + b43, 0.0))
@@ -171,6 +173,14 @@ def _fwd_chain(pe, de, W, B):
     h = _bf16(jnp.maximum(_dot(feat, wrx) + _dot(de, wrde) + br, 0.0))
     rgb_raw = _dot(h, wo) + bo                               # (T, 128), cols 0-2
     return rgb_raw, sig_raw, (x0, x1, x2, x3, x4, x5, x6, x7, feat, h)
+
+
+def _fwd_chain(pe, de, W, B):
+    """Shared forward math on one tile. pe (T,64) bf16, de (T,32) bf16.
+    Returns (rgb_raw f32 (T,128), sig_raw f32 (T,128), activations tuple bf16)."""
+    x0 = _bf16(jnp.maximum(_dot(pe, W[0]) + B[0], 0.0))
+    pe4 = _dot(pe, W[5])                                     # skip contribution
+    return _fwd_tail(x0, pe4, de, W, B)
 
 
 def _fwd_kernel(pe_ref, de_ref, *refs):

@@ -12,15 +12,21 @@ t = r*S + s):
 - inputs are PER-RAY: a packed (N,128) f32 ray table [origin | ray_vec | mlp_dir]
   and the (N,S) z samples — both naturally lane-dense; per-point (M,3) arrays
   never exist anywhere;
-- the frequency-encoding arguments are rebuilt in VMEM without matmuls:
-  oF/vF/dF (R,64/64/32) come from lane-masked selects of the ray table
-  (the freq tables are powers of two by lane — see _enc_rows), and the per-point
-  arguments A = oF + z*vF are formed by a 3-D broadcast
-  (R,1,64)+(R,S,1)*(R,1,64) -> (R,S,64) -> collapse to (T,64), which Mosaic
-  lowers as layout-preserving moves. Per-ray<->per-point traffic never touches
-  the MXU (an earlier mask-matmul variant spent ~0.6 ms/step in multi-pass f32
-  MXU dots);
-- sin/cos/select -> bf16 -> the shared 9-layer MLP chain (pallas_mlp._fwd_chain);
+- FORWARD (round 4, "enc-major"): the tile is NCHAIN_FWD independent 8-ray
+  chains so Mosaic overlaps one chain's VPU encode/compositing with another's
+  MXU matmuls. Each chain builds its frequency-encoding arguments as a
+  (8*ARG_ROWS, S) block A = oT + vT*z_rep whose SUBLANES are encoding args and
+  LANES are samples: the per-ray scaled-coordinate columns oT/vT arrive
+  precomputed from XLA (_ray_arg_table), z rows are sublane-repeated (cheap
+  vreg copies; the old (R,S)->(R,S,1) lane->sublane relayout of z cost ~20
+  ms/frame), sin/cos each run once over exactly the live arg rows, and the
+  first+skip-layer pe matmuls consume the per-ray (72,S) [id|sin|cos] block
+  through transpose_lhs dot_generals (_w72-packed weights) — the encoding is
+  never materialized point-major at all;
+- BACKWARD/TRAIN kernels keep the lane-major encode: oF/vF/dF (R,64/64/32)
+  from lane-masked selects of the ray table (_enc_rows), per-point arguments
+  A = oF + z*vF by 3-D broadcast -> _lane_select_packed trig -> (T,64) bf16;
+- the shared 9-layer MLP chain (pallas_mlp._fwd_chain / _fwd_tail);
 - heads (softplus/relu occupancy, sigmoid rgb) and alpha compositing run in
   (R,S) layout: the exclusive cumulative product of (1 - a + eps) is computed on
   the MXU as exp(logs @ strict-lower-triangular (S,S) mask) — within ~1e-6 of
@@ -226,55 +232,52 @@ def _encode_tile(rays, z_rs, R: int, S: int, pe_rows, de_rows):
     return A_pe, dF, vF
 
 
-def _lane_select_fast(A: jax.Array, levels: int) -> jax.Array:
-    """Single-trig-pass variant of _lane_select(mode='enc'): the cos-block lanes
-    get a pi/2 phase folded into the argument so ONE jnp.sin pass serves both
-    trig blocks (sin(x + pi/2) = cos(x)). Measured on v5e: this alone saves
-    only ~2 ms/frame (Mosaic's sin+cos evidently share range reduction); the
-    win comes from fast_trig=2's lane packing, which halves the vregs the one
-    remaining trig pass touches (209 -> 186 ms full frame). f32 rounding of the
-    phased argument costs up to ~1e-3 absolute radiance at encoding level 9 —
-    fine for eval renders (image metrics shift ~5e-6 dB,
-    tests/test_pallas_render.py), NOT for the 5e-5 train-kernel parity bar.
-    Eval-only, opt-in via fast_trig."""
-    dim = A.shape[-1]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, dim), 1)
-    is_id = lane < 3
-    is_cos = (lane >= 3 + 3 * levels) & (lane < 3 + 6 * levels)
-    is_pad = lane >= 3 + 6 * levels
-    phase = jnp.where(is_cos, jnp.float32(np.pi / 2.0), 0.0)
-    out = jnp.where(is_id, A, jnp.sin(A + phase))
-    return jnp.where(is_pad, 0.0, out)
+NCHAIN_FWD = 4   # independent ray chains per forward tile (VPU/MXU overlap)
+ARG_ROWS = 40    # enc-major arg rows per ray: [id 3 + pad 5 | trig args 30+2]
+ENC_ROWS = 72    # enc-major enc rows per ray: [id 8 | sin 32 | cos 32]
+TILE_FWD = NCHAIN_FWD * RAYS_FWD   # rays per forward grid step
 
 
-def _encode_pe_fast_packed(rays, z_rs, R: int, S: int, pe_rows):
-    """Packed-lane fast position encoding: the rays of the tile's two halves
-    share one 128-lane row (ray r in lanes 0:64, ray r + R/2 in 64:128), so
-    the trig pass runs on fully-dense 128-lane vregs instead of 64-lane ones:
-    4x less trig than the exact path's sin+cos pair, combined with the pi/2
-    phase fold (_lane_select_fast). The encoding args are built with the exact
-    path's (proven-lowerable) broadcast first; the pack/unpack are pure row
-    slices + lane concats with no broadcast after a slice (Mosaic's gather
-    lowering rejects slice-then-broadcast compositions).
-    Returns pe (T, PE_DIM) bf16 in the standard point order."""
-    half = R // 2
-    oF = _ray_rows(rays, 0, pe_rows)                    # (R,64)
-    vF = _ray_rows(rays, 3, pe_rows)                    # (R,64)
-    A = oF[:, None, :] + z_rs[:, :, None] * vF[:, None, :]   # (R,S,64)
-    A2 = jnp.concatenate([A[:half], A[half:]], axis=2)       # (R/2,S,128)
+def _ray_arg_table(rays_packed: jax.Array) -> jax.Array:
+    """(N,128) ray table -> (2, N*ARG_ROWS) f32 enc-major arg-row tables.
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, A2.shape, 2)
-    lane64 = lane % PE_DIM
-    is_id = lane64 < 3
-    is_cos = ((lane64 >= 3 + 3 * PE_LEVELS)
-              & (lane64 < 3 + 6 * PE_LEVELS))
-    is_pad = lane64 >= 3 + 6 * PE_LEVELS
-    phase = jnp.where(is_cos, jnp.float32(np.pi / 2.0), 0.0)
-    out = jnp.where(is_id, A2, jnp.sin(A2 + phase))
-    out = jnp.where(is_pad, 0.0, out)
-    # unpack to ray order: lanes 0:64 are rays [0, R/2), 64:128 are [R/2, R)
-    pe3 = jnp.concatenate([out[:, :, :PE_DIM], out[:, :, PE_DIM:]], axis=0)
-    return _bf16(pe3.reshape(R * S, PE_DIM))
+    Row j of ray n (flattened at column n*ARG_ROWS + j) holds the scaled
+    origin (table row 0) / ray_vec (table row 1) coordinate feeding
+    encoding-arg j: [o_x,o_y,o_z, 0*5, 2^i * o_c for i<PE_LEVELS, c<3, 0*2].
+    Computed in XLA (tiny; fuses with ray generation). The forward kernel
+    consumes these as per-ray sublane COLUMNS, so the frequency-encoding
+    arguments A = oT + vT*z are built with z staying lane-major — the
+    (R,S)->(R,S,1) lane->sublane relayout of z the previous kernel paid was
+    measured at ~20 ms/frame on v5e (docs/PERF.md round 4)."""
+    o = rays_packed[:, 0:3]
+    v = rays_packed[:, 3:6]
+    scale = np.zeros((ARG_ROWS,), np.float32)
+    cidx = np.zeros((ARG_ROWS,), np.int64)
+    for c in range(3):
+        scale[c] = 1.0
+        cidx[c] = c
+    for i in range(PE_LEVELS):
+        for c in range(3):
+            j = 8 + 3 * i + c
+            scale[j] = 2.0 ** i
+            cidx[j] = c
+    sc = jnp.asarray(scale)
+    ci = jnp.asarray(cidx)
+    n = rays_packed.shape[0]
+    oT = (o[:, ci] * sc).reshape(n * ARG_ROWS)
+    vT = (v[:, ci] * sc).reshape(n * ARG_ROWS)
+    return jnp.stack([oT, vT], axis=0)
+
+
+def _w72(w64: jax.Array) -> jax.Array:
+    """Dense-lane packed (64, H) first-layer weight -> (72, H) enc-major-row
+    weight: rows [id 3, 0*5, sin 30, 0*2, cos 30, 0*2], matching the per-ray
+    enc block _render_fwd_kernel builds. Pure pads/concats under jit."""
+    H = w64.shape[1]
+    z5 = jnp.zeros((5, H), w64.dtype)
+    z2 = jnp.zeros((2, H), w64.dtype)
+    return jnp.concatenate([w64[0:3], z5, w64[3:33], z2, w64[33:63], z2],
+                           axis=0)
 
 
 def _de_broadcast(x_r, R: int, S: int):
@@ -285,43 +288,68 @@ def _de_broadcast(x_r, R: int, S: int):
 
 
 def _render_fwd_kernel(cfg: NerfConfig, dist_alpha: bool, want_aux: bool,
-                       fast_trig: int, R: int, S: int, rays_ref, z_ref, *refs):
-    aux = [r[:] for r in refs[:N_AUX]]
-    pe_rows, de_rows = tuple(aux[0:4]), tuple(aux[4:8])
-    ltS = aux[8]
-    W = tuple(w[:] for w in refs[N_AUX:N_AUX + 14])
-    B = tuple(b[:] for b in refs[N_AUX + 14:N_AUX + 26])
-    perray_ref = refs[N_AUX + 26]
+                       S: int, ov_ref, z_ref, de_ref, ltS_ref, *refs):
+    """Forward render tile: NCHAIN_FWD independent 8-ray chains, enc-major.
 
-    rays = rays_ref[:]
-    z_rs = z_ref[:]
+    Each chain builds its frequency-encoding arguments ENC-MAJOR — a
+    (8*ARG_ROWS, S) block A = oT + vT * z_rep whose sublanes are encoding
+    args and lanes are samples: z rows are sublane-REPEATED (cheap vreg
+    copies) instead of lane->sublane transposed, sin and cos each run once
+    over exactly the 30 live arg rows (no lane selects, no wasted trig), and
+    the first-layer + skip-layer pe matmuls consume the per-ray (72, S)
+    [id|sin|cos] block via transpose_lhs dot_generals against the
+    column-concatenated (72, 512) [w0|w4pe] weight. The chains are
+    structurally independent so Mosaic overlaps one chain's VPU encode/tail
+    with another's MXU matmuls (189 -> 152 ms full 188x621 frame on v5e;
+    docs/PERF.md round 4)."""
+    from .pallas_mlp import _fwd_tail
+    R = RAYS_FWD
+    ltS = ltS_ref[:]
+    W = tuple(w[:] for w in refs[:14])
+    B = tuple(b[:] for b in refs[14:26])
+    wcat72 = refs[26][:]
+    perray_ref = refs[27]
 
-    if fast_trig == 2 and R % 2 == 0:
-        pe = _encode_pe_fast_packed(rays, z_rs, R, S, pe_rows)
-        dF = _ray_rows(rays, 6, de_rows)
-    else:
-        A_pe, dF, _ = _encode_tile(rays, z_rs, R, S, pe_rows, de_rows)
-        if fast_trig:
-            pe = _bf16(_lane_select_fast(A_pe.reshape(R * S, PE_DIM), PE_LEVELS))
-        else:
-            pe = _bf16(_lane_select_packed(A_pe, PE_LEVELS, "enc"))
-    de = _de_broadcast(_lane_select(dF, DE_LEVELS, "enc"), R, S)
-
-    rgb_raw, sig_raw, _ = _fwd_chain(pe, de, W, B)
-
-    alpha, _, _, _ = _alpha_forward(sig_raw, z_rs, R, S, cfg, dist_alpha)
-    _, weights, dist = _composite_forward(alpha, z_rs, ltS)
-
-    rgb3 = jax.nn.sigmoid(rgb_raw).reshape(R, S, RAY_DIM)  # cols 0-2 live
-    ray_acc = jnp.sum(weights[:, :, None] * rgb3, axis=1)  # (R,128)
-
+    z_all = z_ref[:]
     lane = jax.lax.broadcasted_iota(jnp.int32, (R, RAY_DIM), 1)
-    perray_ref[:] = jnp.where(lane < 3, ray_acc,
-                              jnp.where(lane == 3, dist, 0.0))
+    outs, w_outs, a_outs = [], [], []
+    for h in range(NCHAIN_FWD):
+        z_rs = z_all[h * R:(h + 1) * R, :]
+        ov = ov_ref[:, h * R * ARG_ROWS:(h + 1) * R * ARG_ROWS]
+        oT = ov[0:1, :].reshape(R * ARG_ROWS, 1)
+        vT = ov[1:2, :].reshape(R * ARG_ROWS, 1)
+        z_rep = jnp.repeat(z_rs, ARG_ROWS, axis=0)       # (R*ARG_ROWS, S)
+        A = oT + vT * z_rep                              # dense, lane-major
+        xps = []
+        for r in range(R):
+            blk = A[r * ARG_ROWS:(r + 1) * ARG_ROWS, :]
+            enc = _bf16(jnp.concatenate(
+                [blk[0:8, :], jnp.sin(blk[8:40, :]), jnp.cos(blk[8:40, :])],
+                axis=0))                                 # (72, S)
+            xps.append(jax.lax.dot_general(
+                enc, wcat72, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))     # (S, 512)
+        xp = jnp.concatenate(xps, axis=0)                # (T, 512)
+        x0 = _bf16(jnp.maximum(xp[:, :256] + B[0], 0.0))
+        pe4 = xp[:, 256:]                                # (T, 256) f32
+
+        de = _de_broadcast(de_ref[h * R:(h + 1) * R, :], R, S)
+        rgb_raw, sig_raw, _ = _fwd_tail(x0, pe4, de, W, B)
+
+        alpha, _, _, _ = _alpha_forward(sig_raw, z_rs, R, S, cfg, dist_alpha)
+        _, weights, dist = _composite_forward(alpha, z_rs, ltS)
+        rgb3 = jax.nn.sigmoid(rgb_raw).reshape(R, S, RAY_DIM)  # cols 0-2 live
+        ray_acc = jnp.sum(weights[:, :, None] * rgb3, axis=1)  # (R,128)
+        outs.append(jnp.where(lane < 3, ray_acc,
+                              jnp.where(lane == 3, dist, 0.0)))
+        if want_aux:
+            w_outs.append(weights)
+            a_outs.append(alpha)
+    perray_ref[:] = jnp.concatenate(outs, axis=0)
     if want_aux:
-        w_ref, a_ref = refs[N_AUX + 27], refs[N_AUX + 28]
-        w_ref[:] = weights
-        a_ref[:] = alpha
+        w_ref, a_ref = refs[28], refs[29]
+        w_ref[:] = jnp.concatenate(w_outs, axis=0)
+        a_ref[:] = jnp.concatenate(a_outs, axis=0)
 
 
 def _backward_tail(cfg: NerfConfig, dist_alpha: bool, R: int, S: int,
@@ -558,12 +586,20 @@ def _ray_tile_spec(cols, rows):
 
 
 def _raw_render_fwd(rays, z, weights, biases, cfg: NerfConfig,
-                    dist_alpha: bool, want_aux: bool = True,
-                    fast_trig: int = 0):
-    n, S = z.shape
-    R = RAYS_FWD
+                    dist_alpha: bool, want_aux: bool = True):
+    n0, S = z.shape
+    R = TILE_FWD
+    pad = (-n0) % R
+    if pad:
+        rays = jnp.pad(rays, ((0, pad), (0, 0)))
+        z = jnp.pad(z, ((0, pad), (0, 0)), constant_values=1.0)
+    n = n0 + pad
     grid = (n // R,)
-    aux = _aux_inputs(S)
+    ltS, _ = (jnp.asarray(a) for a in _tri_masks_np(S))
+    ov = _ray_arg_table(rays)
+    dF = _ray_rows(rays, 6, _enc_rows(DE_LEVELS, DE_DIM))
+    de_enc = _lane_select(dF, DE_LEVELS, "enc")   # f32; _de_broadcast casts
+    wcat72 = jnp.concatenate([_w72(weights[0]), _w72(weights[5])], axis=1)
     w_specs = [_rep_spec(w.shape) for w in weights]
     b_specs = [_rep_spec(b.shape) for b in biases]
     out_specs = [_ray_tile_spec(RAY_DIM, R)]
@@ -573,19 +609,21 @@ def _raw_render_fwd(rays, z, weights, biases, cfg: NerfConfig,
         out_shape += [jax.ShapeDtypeStruct((n, S), jnp.float32),
                       jax.ShapeDtypeStruct((n, S), jnp.float32)]
     outs = pl.pallas_call(
-        functools.partial(_render_fwd_kernel, cfg, dist_alpha, want_aux,
-                          fast_trig, R, S),
+        functools.partial(_render_fwd_kernel, cfg, dist_alpha, want_aux, S),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=100 * 1024 * 1024),
         grid=grid,
-        in_specs=([_ray_tile_spec(RAY_DIM, R), _ray_tile_spec(S, R)]
-                  + [_rep_spec(a.shape) for a in aux] + w_specs + b_specs),
+        in_specs=([pl.BlockSpec((2, R * ARG_ROWS), lambda i: (0, i),
+                                memory_space=pltpu.VMEM),
+                   _ray_tile_spec(S, R), _ray_tile_spec(DE_DIM, R),
+                   _rep_spec(ltS.shape)] + w_specs + b_specs
+                  + [_rep_spec(wcat72.shape)]),
         out_specs=out_specs,
         out_shape=out_shape,
-    )(rays, z, *aux, *weights, *biases)
+    )(ov, z, de_enc, ltS, *weights, *biases, wcat72)
     if want_aux:
-        return outs[0], outs[1], outs[2]
-    return outs[0], None, None
+        return outs[0][:n0], outs[1][:n0], outs[2][:n0]
+    return outs[0][:n0], None, None
 
 
 def _raw_render_bwd(rays, z, weights, biases, g_perray, g_w, g_a,
@@ -634,9 +672,9 @@ def pack_rays(origin: jax.Array, ray_vec: jax.Array,
 def render_rays_fused(params, rays_packed, z, cfg: NerfConfig,
                       dist_alpha: bool = False):
     """(params, ray table (N,128), z (N,S)) -> (rgb (N,3), dist (N,),
-    weights (N,S), alpha (N,S)). N must be a multiple of RAYS_FWD/RAYS_BWD —
-    callers pad. Matches ops/render.py's unfused sample->query->composite to
-    ~1e-6. `dist_alpha` is the RENDERER's flag (delta-scaled opacity); the MLP
+    weights (N,S), alpha (N,S)). The forward pads N to TILE_FWD internally;
+    gradient callers must keep N a multiple of RAYS_BWD. Matches
+    ops/render.py's unfused sample->query->composite to ~5e-5. `dist_alpha` is the RENDERER's flag (delta-scaled opacity); the MLP
     head flag is cfg.dist_alpha."""
     per_ray, w_out, a_out = _raw_render_fwd(
         rays_packed, z, *pack_weights(params, cfg), cfg=cfg,
@@ -668,35 +706,28 @@ def _render_fused_bwd(cfg, dist_alpha, res, g):
 render_rays_fused.defvjp(_render_fused_fwd, _render_fused_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def render_rays_fused_noaux(params, rays_packed, z, cfg: NerfConfig,
-                            dist_alpha: bool = False, fast_trig: int = 0):
+                            dist_alpha: bool = False):
     """render_rays_fused without the (N,S) weights/alpha outputs -> (rgb, dist).
 
     For eval/visualization renders nothing consumes weights/alpha, but pallas
     outputs are always materialized — at a 131k-ray eval chunk they are 128 MB
     of pure HBM-write waste per call. Gradients (used by test-time pose
     optimization) are identical: the backward kernel recomputes everything and
-    receives zero cotangents for the missing outputs.
-
-    fast_trig (eval-only approximation, see _lane_select_fast): 0 = exact
-    sin+cos (default), 1 = single-pass phase-folded trig, 2 = additionally
-    lane-packs two samples per 128-lane row for the whole encoding. The
-    backward recompute always uses exact trig (gradients are of the exact
-    function)."""
+    receives zero cotangents for the missing outputs."""
     per_ray, _, _ = _raw_render_fwd(
         rays_packed, z, *pack_weights(params, cfg), cfg=cfg,
-        dist_alpha=dist_alpha, want_aux=False, fast_trig=fast_trig)
+        dist_alpha=dist_alpha, want_aux=False)
     return per_ray[:, :3], per_ray[:, 3]
 
 
-def _render_noaux_fwd(params, rays_packed, z, cfg, dist_alpha, fast_trig):
-    out = render_rays_fused_noaux(params, rays_packed, z, cfg, dist_alpha,
-                                  fast_trig)
+def _render_noaux_fwd(params, rays_packed, z, cfg, dist_alpha):
+    out = render_rays_fused_noaux(params, rays_packed, z, cfg, dist_alpha)
     return out, (params, rays_packed, z)
 
 
-def _render_noaux_bwd(cfg, dist_alpha, fast_trig, res, g):
+def _render_noaux_bwd(cfg, dist_alpha, res, g):
     params, rays_packed, z = res
     g_rgb, g_dist = g
     zeros = jnp.zeros(z.shape, jnp.float32)

@@ -51,11 +51,6 @@ class RenderConfig:
     # itself is a runtime array threaded as `occ_grid`).
     occ_radius: float = 4.0
     occ_floor: float = 0.01
-    # Eval-only fast trig in the fused forward kernel (pallas_render
-    # ._lane_select_fast): 0 = exact, 1 = phase-folded single trig pass,
-    # 2 = + lane-packed encoding. Applies ONLY to the need_aux=False eval/vis
-    # path; the train kernels and all gradients always use exact trig.
-    fast_eval_trig: int = 0
 
     @classmethod
     def from_cfg(cls, cfg: dict) -> "RenderConfig":
@@ -71,9 +66,7 @@ class RenderConfig:
                    sample_option=r["sample_option"],
                    n_importance=r.get("n_importance", 0),
                    occ_radius=r.get("radius", 4.0),
-                   occ_floor=r.get("occupancy_floor", 0.01),
-                   fast_eval_trig=int(cfg.get("tpu", {})
-                                      .get("fast_eval_trig", 0)))
+                   occ_floor=r.get("occupancy_floor", 0.01))
 
 
 def sample_uniform(key: Optional[jax.Array], n_rays: int, steps: int,
@@ -295,8 +288,7 @@ def render_nope_nerf(nerf_params: Dict[str, jax.Array],
             ray_table = pack_rays(origin, ray_vec, mlp_dir)
         if not need_aux and not rcfg.white_background:
             rgb_values, dist_pred = render_rays_fused_noaux(
-                nerf_params, ray_table, z_val, ncfg, rcfg.dist_alpha,
-                rcfg.fast_eval_trig)
+                nerf_params, ray_table, z_val, ncfg, rcfg.dist_alpha)
             weights = alpha = None
         else:
             rgb_values, dist_pred, weights, alpha = render_rays_fused(

@@ -293,37 +293,16 @@ def test_train_fused_camera_world_grads_match():
         assert float(jnp.max(jnp.abs(a))) > 0  # the signal actually exists
 
 
-def test_fast_eval_trig_parity():
-    """fast_eval_trig (eval-only approximate trig, VERDICT r2 item 3) must
-    match the exact kernel to eval-appropriate tolerance: radiance within
-    ~2e-3 absolute and the frame's PSNR-vs-GT shifted by < 1e-3 dB."""
-    import dataclasses as dc
-
+def test_noaux_vjp_gradients_flow():
+    """Gradients keep flowing through the noaux custom VJP (eval path used by
+    test-time pose optimization; the backward kernel recomputes the forward)."""
     params, cam, world, pixels, depth_prior = _setup()
     ncfg = NerfConfig(compute_dtype="bfloat16", use_pallas=True)
-    outs = {}
-    for ft in (0, 1, 2):
-        rcfg = RenderConfig(num_points=128, fast_eval_trig=ft)
-        with pltpu.force_tpu_interpret_mode():
-            outs[ft] = render_nope_nerf(
-                params, pixels, depth_prior, cam, world, None, None, rcfg,
-                ncfg, add_noise=False, eval_=True, need_aux=False)
-    rgb0 = np.asarray(outs[0]["rgb"])
-    gt = np.clip(rgb0 + 0.1, 0.0, 1.0)  # any fixed target works for dPSNR
-    psnr0 = -10 * np.log10(np.mean((rgb0 - gt) ** 2))
-    for ft in (1, 2):
-        rgb = np.asarray(outs[ft]["rgb"])
-        np.testing.assert_allclose(rgb, rgb0, atol=2e-3)
-        np.testing.assert_allclose(np.asarray(outs[ft]["depth_pred"]),
-                                   np.asarray(outs[0]["depth_pred"]), atol=2e-2)
-        psnr = -10 * np.log10(np.mean((rgb - gt) ** 2))
-        assert abs(psnr - psnr0) < 1e-3, (ft, psnr, psnr0)
-    # gradients keep flowing through the noaux VJP (exact-trig backward)
-    rcfg2 = RenderConfig(num_points=128, fast_eval_trig=2)
+    rcfg = RenderConfig(num_points=128)
 
     def f(p):
         out = render_nope_nerf(p, pixels, depth_prior, cam, world, None, None,
-                               rcfg2, ncfg, add_noise=False, eval_=True,
+                               rcfg, ncfg, add_noise=False, eval_=True,
                                need_aux=False)
         return jnp.sum(out["rgb"]) + jnp.sum(out["depth_pred"])
 
