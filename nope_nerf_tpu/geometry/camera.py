@@ -20,11 +20,31 @@ Conventions (identical to the reference — the #1 parity risk, see SURVEY.md §
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+@functools.lru_cache(maxsize=32)
+def _pixel_grid_np(resolution: Tuple[int, int],
+                   image_range: Tuple[float, float],
+                   dtype_name: str) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side pixel grid (cached): identical IEEE elementwise ops to the
+    previous traced version, so the values are bitwise-unchanged — but under
+    jit the grid becomes a CONSTANT, hoisted out of the scan-fused step
+    (the per-step meshgrid+stack cost 0.05 ms on v5e; docs/PERF.md round 4)."""
+    h, w = resolution
+    dtype = np.dtype(dtype_name)
+    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    loc = np.stack([xs, ys], axis=-1).reshape(-1, 2)
+    scale = dtype.type(image_range[1] - image_range[0])
+    shift = dtype.type(scale / 2.0)
+    px = scale * loc[:, 0].astype(dtype) / dtype.type(w - 1) - shift
+    py = scale * loc[:, 1].astype(dtype) / dtype.type(h - 1) - shift
+    return loc.astype(np.int32), np.stack([px, py], axis=-1)
 
 
 def pixel_grid(resolution: Tuple[int, int],
@@ -35,14 +55,9 @@ def pixel_grid(resolution: Tuple[int, int],
     Returns (locations (H*W, 2) int32 as (x, y), scaled (H*W, 2) float).
     Reference: `arange_pixels`, model/common.py:13-40 (row-major, x fastest).
     """
-    h, w = resolution
-    ys, xs = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
-    loc = jnp.stack([xs, ys], axis=-1).reshape(-1, 2)
-    scale = image_range[1] - image_range[0]
-    shift = scale / 2.0
-    px = scale * loc[:, 0].astype(dtype) / (w - 1) - shift
-    py = scale * loc[:, 1].astype(dtype) / (h - 1) - shift
-    return loc.astype(jnp.int32), jnp.stack([px, py], axis=-1)
+    loc, p = _pixel_grid_np(tuple(resolution), tuple(image_range),
+                            np.dtype(dtype).name)
+    return jnp.asarray(loc), jnp.asarray(p)
 
 
 def rigid_inverse(T: jax.Array) -> jax.Array:

@@ -96,6 +96,20 @@ def nearest_dists(src: jax.Array, dst: jax.Array, tile: int = 512) -> jax.Array:
     return safe_norm(src - matched, axis=-1)
 
 
+IDX_BITS_COL = 9    # tile <= 512 local column indices
+IDX_BITS_ROW = 15   # source clouds <= 32768 rows (pc_ratio-downsampled frames)
+
+
+def _float_order_u32(d2: jax.Array) -> jax.Array:
+    """bf16 -> uint32 whose unsigned order equals the float total order
+    (negative floats get all bits flipped, positives get the sign bit set —
+    the classic radix-sort float key). Slightly-negative d2 from bf16 matmul
+    rounding of coincident points therefore still sorts below positives,
+    exactly as jnp.min on the raw floats would."""
+    u = jax.lax.bitcast_convert_type(d2, jnp.uint16).astype(jnp.uint32)
+    return jnp.where(u & 0x8000, ~u & jnp.uint32(0xFFFF), u | jnp.uint32(0x8000))
+
+
 def _nearest_idx_bidirectional(x: jax.Array, y: jax.Array,
                                tile: int) -> Tuple[jax.Array, jax.Array]:
     """One sweep over the (S, D) distance matrix feeding BOTH argmin directions.
@@ -117,8 +131,18 @@ def _nearest_idx_bidirectional(x: jax.Array, y: jax.Array,
     # argmin, and their own col argmin is arbitrary (sliced away below).
     x_aug = _aug_src(x)
 
-    best_sq = jnp.full((s,), jnp.inf, jnp.bfloat16)
-    best_idx = jnp.zeros((s,), jnp.int32)
+    # Packed single-pass min+argmin: the sweep is HBM-bound on reading the
+    # (S, tile) distance blocks, and (min, argmin-rows, argmin-cols) as three
+    # separate reductions read every block three times. Packing the bf16
+    # distance's TOTAL-ORDER bits above the candidate index gives ONE uint32
+    # min-reduce per direction (2 reads instead of 3; the pack is elementwise
+    # and fuses into the reduce input). Tie semantics are identical to
+    # jnp.argmin (equal distance -> lowest index), except that an exact -0.0
+    # distance orders strictly below +0.0 — only exactly-coincident pairs,
+    # whose recomputed distance (and safe_norm gradient) is 0 either way.
+    assert tile <= 1 << IDX_BITS_COL and s <= 1 << IDX_BITS_ROW
+    best_row = jnp.full((s,), jnp.uint32(0xFFFFFFFF))
+    best_base = jnp.zeros((s,), jnp.int32)
     col_idx = []
     for k in range(n_tiles):
         # preferred_element_type=bf16: the MXU still accumulates f32 and rounds
@@ -127,14 +151,21 @@ def _nearest_idx_bidirectional(x: jax.Array, y: jax.Array,
         # sweep is HBM-bound; scripts/profile_glue2.py)
         d2 = jnp.matmul(x_aug, _aug_dst(tiles[k]).T,
                         preferred_element_type=jnp.bfloat16)
-        # row direction (x -> y): running min across tiles
-        tile_min = jnp.min(d2, axis=1)
-        tile_arg = jnp.argmin(d2, axis=1) + k * tile
-        take = tile_min < best_sq
-        best_sq = jnp.where(take, tile_min, best_sq)
-        best_idx = jnp.where(take, tile_arg, best_idx)
+        d2o = _float_order_u32(d2)
+        # row direction (x -> y): packed min within the tile, then a running
+        # compare on the distance bits alone (strict <, so the earlier tile
+        # keeps equal-distance winners — same as the old `tile_min < best_sq`)
+        lane = jax.lax.broadcasted_iota(jnp.uint32, d2.shape, 1)
+        tile_best = jnp.min((d2o << IDX_BITS_COL) | lane, axis=1)
+        take = (tile_best >> IDX_BITS_COL) < (best_row >> IDX_BITS_COL)
+        best_row = jnp.where(take, tile_best, best_row)
+        best_base = jnp.where(take, k * tile, best_base)
         # col direction (y -> x): final within the tile (each tile sees every x)
-        col_idx.append(jnp.argmin(d2, axis=0).astype(jnp.int32))
+        row = jax.lax.broadcasted_iota(jnp.uint32, d2.shape, 0)
+        cmin = jnp.min((d2o << IDX_BITS_ROW) | row, axis=0)
+        col_idx.append((cmin & ((1 << IDX_BITS_ROW) - 1)).astype(jnp.int32))
+    best_idx = (best_row & ((1 << IDX_BITS_COL) - 1)).astype(jnp.int32) \
+        + best_base
     idx_yx = jnp.concatenate(col_idx)[:d_real]
     return best_idx, idx_yx
 

@@ -194,23 +194,28 @@ def _fwd_kernel(pe_ref, de_ref, *refs):
     sig_ref[:] = sig_raw
 
 
-def _bwd_chain(pe, de, acts, g_rgb, g_sig, W, dW_refs, dB_refs):
-    """MLP backward on one tile: accumulate dW/dB into refs, return (dpe, dde) f32.
+def _dmat(x, g):  # dW = x^T @ g, f32 accumulation on MXU
+    return jax.lax.dot_general(_bf16(x), _bf16(g), (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
 
-    `acts` is the activations tuple from _fwd_chain; g_rgb/g_sig are f32 (T, 128)
-    cotangents of rgb_raw/sig_raw. Shared between the point kernel below and the
-    fused ray-render kernel in pallas_render.py.
+
+def _gT(g, w):  # dX = g @ w^T
+    return jax.lax.dot_general(_bf16(g), w, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _bwd_chain_core(de, acts, g_rgb, g_sig, W, dW_refs, dB_refs):
+    """MLP backward EXCLUDING the pe-facing grads: accumulates every dW/dB
+    except w0/w4pe into refs and returns (g_x0pre, g_x4pre, dde) — the f32
+    (T, D) cotangents of the first-layer and skip-layer pre-activations, from
+    which callers form dW0/dW4pe/dpe in their own encoding layout (lane-major
+    here in _bwd_chain; enc-major in pallas_render's ray kernels).
+
+    `acts` is the activations tuple from _fwd_chain/_fwd_tail; g_rgb/g_sig are
+    f32 (T, 128) cotangents of rgb_raw/sig_raw.
     """
     (w0, w01, w02, w03, w4x, w4pe, w41, w42, w43, wd, wf, wrx, wrde, wo) = W
     (x0, x1, x2, x3, x4, x5, x6, x7, feat, h) = acts
-
-    def dmat(x, g):  # dW = x^T @ g, f32 accumulation on MXU
-        return jax.lax.dot_general(_bf16(x), _bf16(g), (((0,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
-
-    def gT(g, w):  # dX = g @ w^T
-        return jax.lax.dot_general(_bf16(g), w, (((1,), (1,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
 
     def rmask(x):  # relu mask; Mosaic lacks bf16 compares -> compare in f32
         return x.astype(jnp.float32) > 0.0
@@ -218,41 +223,50 @@ def _bwd_chain(pe, de, acts, g_rgb, g_sig, W, dW_refs, dB_refs):
     bsum = lambda g: jnp.sum(g, axis=0, keepdims=True)
 
     # rgb head
-    dW_refs[13][:] += dmat(h, g_rgb)          # wo
+    dW_refs[13][:] += _dmat(h, g_rgb)         # wo
     dB_refs[11][:] += bsum(g_rgb)             # bo
-    g_h = gT(g_rgb, wo) * rmask(h)
-    dW_refs[11][:] += dmat(feat, g_h)         # wrx
-    dW_refs[12][:] += dmat(de, g_h)           # wrde
+    g_h = _gT(g_rgb, wo) * rmask(h)
+    dW_refs[11][:] += _dmat(feat, g_h)        # wrx
+    dW_refs[12][:] += _dmat(de, g_h)          # wrde
     dB_refs[10][:] += bsum(g_h)               # br
-    g_feat = gT(g_h, wrx)
-    dde = gT(g_h, wrde)
-    dW_refs[10][:] += dmat(x7, g_feat)        # wf
+    g_feat = _gT(g_h, wrx)
+    dde = _gT(g_h, wrde)
+    dW_refs[10][:] += _dmat(x7, g_feat)       # wf
     dB_refs[9][:] += bsum(g_feat)             # bf
     # density head
-    dW_refs[9][:] += dmat(x7, g_sig)          # wd
+    dW_refs[9][:] += _dmat(x7, g_sig)         # wd
     dB_refs[8][:] += bsum(g_sig)              # bd
 
-    g = gT(g_feat, wf) + gT(g_sig, wd)
+    g = _gT(g_feat, wf) + _gT(g_sig, wd)
     g = g * rmask(x7)
-    dW_refs[8][:] += dmat(x6, g); dB_refs[7][:] += bsum(g)
-    g = gT(g, w43) * rmask(x6)
-    dW_refs[7][:] += dmat(x5, g); dB_refs[6][:] += bsum(g)
-    g = gT(g, w42) * rmask(x5)
-    dW_refs[6][:] += dmat(x4, g); dB_refs[5][:] += bsum(g)
-    g = gT(g, w41) * rmask(x4)
-    dW_refs[4][:] += dmat(x3, g)              # w4x
-    dW_refs[5][:] += dmat(pe, g)              # w4pe
+    dW_refs[8][:] += _dmat(x6, g); dB_refs[7][:] += bsum(g)
+    g = _gT(g, w43) * rmask(x6)
+    dW_refs[7][:] += _dmat(x5, g); dB_refs[6][:] += bsum(g)
+    g = _gT(g, w42) * rmask(x5)
+    dW_refs[6][:] += _dmat(x4, g); dB_refs[5][:] += bsum(g)
+    g = _gT(g, w41) * rmask(x4)
+    g_x4pre = g
+    dW_refs[4][:] += _dmat(x3, g)             # w4x
     dB_refs[4][:] += bsum(g)
-    dpe = gT(g, w4pe)
-    g = gT(g, w4x) * rmask(x3)
-    dW_refs[3][:] += dmat(x2, g); dB_refs[3][:] += bsum(g)
-    g = gT(g, w03) * rmask(x2)
-    dW_refs[2][:] += dmat(x1, g); dB_refs[2][:] += bsum(g)
-    g = gT(g, w02) * rmask(x1)
-    dW_refs[1][:] += dmat(x0, g); dB_refs[1][:] += bsum(g)
-    g = gT(g, w01) * rmask(x0)
-    dW_refs[0][:] += dmat(pe, g); dB_refs[0][:] += bsum(g)
-    dpe += gT(g, w0)
+    g = _gT(g, w4x) * rmask(x3)
+    dW_refs[3][:] += _dmat(x2, g); dB_refs[3][:] += bsum(g)
+    g = _gT(g, w03) * rmask(x2)
+    dW_refs[2][:] += _dmat(x1, g); dB_refs[2][:] += bsum(g)
+    g = _gT(g, w02) * rmask(x1)
+    dW_refs[1][:] += _dmat(x0, g); dB_refs[1][:] += bsum(g)
+    g = _gT(g, w01) * rmask(x0)
+    g_x0pre = g
+    dB_refs[0][:] += bsum(g)
+    return g_x0pre, g_x4pre, dde
+
+
+def _bwd_chain(pe, de, acts, g_rgb, g_sig, W, dW_refs, dB_refs):
+    """MLP backward on one tile: accumulate dW/dB into refs, return (dpe, dde)
+    f32 — the lane-major-pe variant used by the point kernel below."""
+    g0, g4, dde = _bwd_chain_core(de, acts, g_rgb, g_sig, W, dW_refs, dB_refs)
+    dW_refs[5][:] += _dmat(pe, g4)            # w4pe
+    dW_refs[0][:] += _dmat(pe, g0)            # w0
+    dpe = _gT(g4, W[5]) + _gT(g0, W[0])
     return dpe, dde
 
 

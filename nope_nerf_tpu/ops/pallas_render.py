@@ -23,9 +23,11 @@ t = r*S + s):
   first+skip-layer pe matmuls consume the per-ray (72,S) [id|sin|cos] block
   through transpose_lhs dot_generals (_w72-packed weights) — the encoding is
   never materialized point-major at all;
-- BACKWARD/TRAIN kernels keep the lane-major encode: oF/vF/dF (R,64/64/32)
-  from lane-masked selects of the ray table (_enc_rows), per-point arguments
-  A = oF + z*vF by 3-D broadcast -> _lane_select_packed trig -> (T,64) bf16;
+- BACKWARD/TRAIN kernels recompute the forward with the SAME enc-major
+  encode (flash-style) and keep its sin/cos for the encoding derivative —
+  the backward does no trig at all; the w0/w4pe grads and the pe cotangent
+  are per-ray (72,S)-block dot_generals, and dz/dray cotangents are masked
+  row reductions with z lane-major throughout;
 - the shared 9-layer MLP chain (pallas_mlp._fwd_chain / _fwd_tail);
 - heads (softplus/relu occupancy, sigmoid rgb) and alpha compositing run in
   (R,S) layout: the exclusive cumulative product of (1 - a + eps) is computed on
@@ -66,8 +68,9 @@ from .pallas_mlp import (
     DE_DIM,
     PE_DIM,
     _bf16,
-    _bwd_chain,
-    _fwd_chain,
+    _bwd_chain_core,
+    _dmat,
+    _fwd_tail,
     _rep_spec,
     _unpack_grads,
     pack_weights,
@@ -115,21 +118,12 @@ def _tri_masks_np(S: int):
     return ltS, ltS.T.copy()
 
 
-N_AUX = 10  # 4 pe rows + 4 de rows + ltS + ltT
-
 # Frequency-encoding level counts (reference model/network/nope_nerf encodings:
 # 10 position octaves -> 63 dims, 4 direction octaves -> 27 dims). Every lane
 # select below derives its block boundaries from these, so changing a count
 # stays consistent across the exact, fast, and packed paths.
 PE_LEVELS = 10
 DE_LEVELS = 4
-
-
-def _aux_inputs(S: int):
-    pe = _enc_rows(PE_LEVELS, PE_DIM)
-    de = _enc_rows(DE_LEVELS, DE_DIM)
-    tri = _tri_masks_np(S)
-    return tuple(jnp.asarray(a) for a in pe + de + tri)
 
 
 def _lane_select(A: jax.Array, levels: int, mode: str,
@@ -149,25 +143,6 @@ def _lane_select(A: jax.Array, levels: int, mode: str,
     # derivative of the encoding wrt A
     out = jnp.where(is_id, 1.0, jnp.where(is_sin, jnp.cos(A), -jnp.sin(A)))
     return jnp.where(is_pad, 0.0, out)
-
-
-def _lane_select_packed(A3: jax.Array, levels: int, mode: str) -> jax.Array:
-    """EXACT _lane_select over a (R, S, dim) argument tensor, computed on
-    fully-dense 128-lane vregs: the tile's two ray halves share one row
-    (ray r in lanes 0:dim, ray r + R/2 in dim:2*dim), halving the vregs every
-    trig/select pass touches. Pack/unpack are row slices + concats only (no
-    broadcast after a slice — Mosaic's gather lowering rejects those).
-    Bitwise-identical values to the unpacked path — used by the TRAIN kernels
-    (5e-5 parity bar) as well as eval. Returns (R*S, dim)."""
-    R, S, dim = A3.shape
-    if R % 2 or dim > 64:
-        return _lane_select(A3.reshape(R * S, dim), levels, mode)
-    half = R // 2
-    A2 = jnp.concatenate([A3[:half], A3[half:]], axis=2)      # (R/2,S,2dim)
-    lane = jax.lax.broadcasted_iota(jnp.int32, A2.shape, 2) % dim
-    out = _lane_select(A2, levels, mode, lane=lane)
-    out3 = jnp.concatenate([out[:, :, :dim], out[:, :, dim:]], axis=0)
-    return out3.reshape(R * S, dim)
 
 
 def _fdot(a, b):
@@ -219,26 +194,21 @@ def _composite_forward(alpha, z_rs, ltS):
     return trans, weights, dist
 
 
-def _encode_tile(rays, z_rs, R: int, S: int, pe_rows, de_rows):
-    """Per-tile encoding args A_pe (R,S,64) and the per-ray dir args dF (R,32),
-    plus per-ray vF (R,64) — all via broadcasts; no matmuls, no per-point (·,3)
-    arrays. The dir encoding stays PER-RAY (constant along a ray): its trig and
-    select run on (R,32) and only the finished bf16 values are broadcast —
-    measured ~0.5 ms/step cheaper than broadcasting the args."""
-    oF = _ray_rows(rays, 0, pe_rows)      # (R,64)
-    vF = _ray_rows(rays, 3, pe_rows)      # (R,64)
-    dF = _ray_rows(rays, 6, de_rows)      # (R,32)
-    A_pe = oF[:, None, :] + z_rs[:, :, None] * vF[:, None, :]  # (R,S,64)
-    return A_pe, dF, vF
-
-
 NCHAIN_FWD = 4   # independent ray chains per forward tile (VPU/MXU overlap)
-ARG_ROWS = 40    # enc-major arg rows per ray: [id 3 + pad 5 | trig args 30+2]
+# Enc-major arg rows per ray: [id 3 + pad 5 | trig args 30 + 2]. The forward
+# kernel uses the tight 40 (its 32-ray tile block (2, 1280) stays lane-%128);
+# the backward/train kernels pad to 48 so ONE 8-ray chain's (2, 384) block
+# meets the %128 block-shape rule (rows 40:48 are never read; measured: the
+# extra pad rows cost ~6 ms/frame at eval scale, so the fwd keeps 40).
+ARG_ROWS = 40
+ARG_ROWS_BWD = 48
+DA_ROWS = 40     # live arg rows (id 8 + trig args 32)
 ENC_ROWS = 72    # enc-major enc rows per ray: [id 8 | sin 32 | cos 32]
 TILE_FWD = NCHAIN_FWD * RAYS_FWD   # rays per forward grid step
 
 
-def _ray_arg_table(rays_packed: jax.Array) -> jax.Array:
+def _ray_arg_table(rays_packed: jax.Array,
+                   arg_rows: int = ARG_ROWS) -> jax.Array:
     """(N,128) ray table -> (2, N*ARG_ROWS) f32 enc-major arg-row tables.
 
     Row j of ray n (flattened at column n*ARG_ROWS + j) holds the scaled
@@ -251,8 +221,8 @@ def _ray_arg_table(rays_packed: jax.Array) -> jax.Array:
     measured at ~20 ms/frame on v5e (docs/PERF.md round 4)."""
     o = rays_packed[:, 0:3]
     v = rays_packed[:, 3:6]
-    scale = np.zeros((ARG_ROWS,), np.float32)
-    cidx = np.zeros((ARG_ROWS,), np.int64)
+    scale = np.zeros((arg_rows,), np.float32)
+    cidx = np.zeros((arg_rows,), np.int64)
     for c in range(3):
         scale[c] = 1.0
         cidx[c] = c
@@ -264,9 +234,81 @@ def _ray_arg_table(rays_packed: jax.Array) -> jax.Array:
     sc = jnp.asarray(scale)
     ci = jnp.asarray(cidx)
     n = rays_packed.shape[0]
-    oT = (o[:, ci] * sc).reshape(n * ARG_ROWS)
-    vT = (v[:, ci] * sc).reshape(n * ARG_ROWS)
+    oT = (o[:, ci] * sc).reshape(n * arg_rows)
+    vT = (v[:, ci] * sc).reshape(n * arg_rows)
     return jnp.stack([oT, vT], axis=0)
+
+
+def _arg_row_masks():
+    """Scaled per-coordinate row masks of the enc-major arg layout, built from
+    iota IN-KERNEL (pallas rejects closed-over array constants): msk_c[k] =
+    scale_k if arg-row k reads coordinate c else 0 (0 on pad rows). Matches
+    _ray_arg_table's row layout."""
+    k = jax.lax.broadcasted_iota(jnp.int32, (DA_ROWS, 1), 0)
+    i = jnp.maximum(k - 8, 0) // 3
+    pad = ((k >= 3) & (k < 8)) | (k >= 8 + 3 * PE_LEVELS)
+    scale = jnp.where(k < 3, 1.0,
+                      jnp.where(pad, 0.0,
+                                jnp.exp2(i.astype(jnp.float32))))
+    c_of = jnp.where(k < 3, k, (k - 8) % 3)
+    return tuple(scale * (c_of == c) for c in range(3))
+
+
+def _de_row_masks():
+    """Scaled per-coordinate lane masks of the dense-lane dir-encoding layout
+    ([x,y,z | sin block | cos block | pad], _enc_rows), built from iota
+    in-kernel: msk_c[lane] = 2^i if the lane reads coordinate c else 0."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, DE_DIM), 1)
+    t = lane - 3
+    i = jnp.where(t < 3 * DE_LEVELS, t, t - 3 * DE_LEVELS) // 3
+    scale = jnp.where(lane < 3, 1.0,
+                      jnp.where(lane >= 3 + 6 * DE_LEVELS, 0.0,
+                                jnp.exp2(jnp.maximum(i, 0)
+                                         .astype(jnp.float32))))
+    c_of = jnp.where(lane < 3, lane, t % 3)
+    return tuple(scale * (c_of == c) for c in range(3))
+
+
+def _encmajor_fwd(ov, z_rs, S, wcat72, b0, keep_ctx=False,
+                  arg_rows: int = ARG_ROWS):
+    """Shared enc-major encode + first/skip-layer matmuls for one 8-ray chain.
+
+    ov (2, 8*ARG_ROWS) arg-row table block, z_rs (8,S). Returns (x0 (T,D),
+    pe4 f32 (T,D), ctx); ctx (when keep_ctx, for the backward kernels) is
+    (enc_list [8 x (72,S) bf16], sin_list, cos_list [8 x (32,S) f32],
+    vT (8*ARG_ROWS, 1)) — the backward reuses the SAME sin/cos for the
+    encoding derivative, so the deriv pass does no trig at all."""
+    R = RAYS_FWD
+    D = b0.shape[1]
+    oT = ov[0:1, :].reshape(R * arg_rows, 1)
+    vT = ov[1:2, :].reshape(R * arg_rows, 1)
+    z_rep = jnp.repeat(z_rs, arg_rows, axis=0)           # (R*arg_rows, S)
+    A = oT + vT * z_rep                                  # dense, lane-major
+    xps, encs, sins, coss = [], [], [], []
+    for r in range(R):
+        blk = A[r * arg_rows:r * arg_rows + DA_ROWS, :]
+        s_ = jnp.sin(blk[8:40, :])
+        c_ = jnp.cos(blk[8:40, :])
+        enc = _bf16(jnp.concatenate([blk[0:8, :], s_, c_], axis=0))  # (72,S)
+        xps.append(jax.lax.dot_general(
+            enc, wcat72, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))         # (S, 2D)
+        if keep_ctx:
+            encs.append(enc)
+            sins.append(s_)
+            coss.append(c_)
+    xp = jnp.concatenate(xps, axis=0)                    # (T, 2D)
+    x0 = _bf16(jnp.maximum(xp[:, :D] + b0, 0.0))
+    pe4 = xp[:, D:]                                      # (T, D) f32
+    return x0, pe4, (encs, sins, coss, vT)
+
+
+def _unw72(w72: jax.Array) -> jax.Array:
+    """Inverse row map of _w72: (72, H) enc-major-row grad -> (64, H)
+    dense-lane-row grad (the pad lane 63 gets a zero row)."""
+    return jnp.concatenate(
+        [w72[0:3], w72[8:38], w72[40:70],
+         jnp.zeros((1, w72.shape[1]), w72.dtype)], axis=0)
 
 
 def _w72(w64: jax.Array) -> jax.Array:
@@ -302,7 +344,6 @@ def _render_fwd_kernel(cfg: NerfConfig, dist_alpha: bool, want_aux: bool,
     structurally independent so Mosaic overlaps one chain's VPU encode/tail
     with another's MXU matmuls (189 -> 152 ms full 188x621 frame on v5e;
     docs/PERF.md round 4)."""
-    from .pallas_mlp import _fwd_tail
     R = RAYS_FWD
     ltS = ltS_ref[:]
     W = tuple(w[:] for w in refs[:14])
@@ -316,23 +357,7 @@ def _render_fwd_kernel(cfg: NerfConfig, dist_alpha: bool, want_aux: bool,
     for h in range(NCHAIN_FWD):
         z_rs = z_all[h * R:(h + 1) * R, :]
         ov = ov_ref[:, h * R * ARG_ROWS:(h + 1) * R * ARG_ROWS]
-        oT = ov[0:1, :].reshape(R * ARG_ROWS, 1)
-        vT = ov[1:2, :].reshape(R * ARG_ROWS, 1)
-        z_rep = jnp.repeat(z_rs, ARG_ROWS, axis=0)       # (R*ARG_ROWS, S)
-        A = oT + vT * z_rep                              # dense, lane-major
-        xps = []
-        for r in range(R):
-            blk = A[r * ARG_ROWS:(r + 1) * ARG_ROWS, :]
-            enc = _bf16(jnp.concatenate(
-                [blk[0:8, :], jnp.sin(blk[8:40, :]), jnp.cos(blk[8:40, :])],
-                axis=0))                                 # (72, S)
-            xps.append(jax.lax.dot_general(
-                enc, wcat72, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32))     # (S, 512)
-        xp = jnp.concatenate(xps, axis=0)                # (T, 512)
-        x0 = _bf16(jnp.maximum(xp[:, :256] + B[0], 0.0))
-        pe4 = xp[:, 256:]                                # (T, 256) f32
-
+        x0, pe4, _ = _encmajor_fwd(ov, z_rs, S, wcat72, B[0])
         de = _de_broadcast(de_ref[h * R:(h + 1) * R, :], R, S)
         rgb_raw, sig_raw, _ = _fwd_tail(x0, pe4, de, W, B)
 
@@ -353,16 +378,22 @@ def _render_fwd_kernel(cfg: NerfConfig, dist_alpha: bool, want_aux: bool,
 
 
 def _backward_tail(cfg: NerfConfig, dist_alpha: bool, R: int, S: int,
-                   ltT, pe_rows, de_rows, A_pe, dF, vF, pe, de, acts, z_rs,
+                   ltT, enc_ctx, dF, de, acts, z_rs,
                    rgb3, w3, alpha, occ, raw_rs, deltas, trans, weights,
-                   g_rgb_ray, g_dist, g_w_in, g_a_in, white_bg, W,
-                   dW_refs, dB_refs, drays_ref, gz_ref):
-    """Shared composite -> heads -> MLP -> encoding backward chain.
+                   g_rgb_ray, g_dist, g_w_in, g_a_in, white_bg, W, wcat72,
+                   dW14, dB_refs, dWcat_ref):
+    """Shared composite -> heads -> MLP -> encoding backward chain, enc-major.
 
-    Used verbatim by _render_bwd_kernel (cotangents arrive as inputs; white
-    background is handled outside the kernel there) and _render_train_kernel
-    (cotangents formed in VMEM; white_bg folds the 1-acc term's gradient in).
-    g_w_in / g_a_in may be None (zero cotangents)."""
+    Accumulates the non-pe dW/dB through _bwd_chain_core (dW14 is a 14-list
+    with None at the w0/w4pe slots) and the pe-facing weight grads into
+    dWcat_ref as a (72, 2D) enc-major-row block (callers unpack via _unw72).
+    The encoding derivative REUSES the forward's sin/cos from enc_ctx — the
+    backward does no trig at all — and both dz and the ray-table cotangents
+    are formed with z lane-major (no (R,S)->(R,S,1) relayout anywhere).
+    Returns (drays (R,128), g_z (R,S)); used by _render_bwd_kernel (cotangents
+    arrive as inputs) and _render_train_kernel (cotangents formed in VMEM;
+    white_bg folds the 1-acc term's gradient in). g_w_in / g_a_in may be None
+    (zero cotangents)."""
     T = R * S
     lane128 = jax.lax.broadcasted_iota(jnp.int32, (R, RAY_DIM), 1)
 
@@ -410,154 +441,230 @@ def _backward_tail(cfg: NerfConfig, dist_alpha: bool, R: int, S: int,
     rgb_flat = rgb3.reshape(T, RAY_DIM)
     g_rgb_raw = g_rgb_flat * rgb_flat * (1.0 - rgb_flat)   # sigmoid'
 
-    dpe, dde = _bwd_chain(pe, de, acts, g_rgb_raw, g_sig_raw, W,
-                          dW_refs, dB_refs)
+    g0, g4, dde = _bwd_chain_core(de, acts, g_rgb_raw, g_sig_raw, W,
+                                  dW14, dB_refs)
 
-    # ---- encoding backward ---------------------------------------------------
-    dA3 = (dpe * _lane_select_packed(A_pe, PE_LEVELS, "deriv")).reshape(R, S, PE_DIM)
-    # dir-encoding deriv is per-ray: reduce dde over samples FIRST, then mask
+    # ---- enc-major encoding backward ----------------------------------------
+    encs, sins, coss, vT = enc_ctx
+    msks40 = _arg_row_masks()            # iota-built (pallas: no array consts)
+    dz_rows, ov_cols = [], []
+    for r in range(R):
+        g_cat = _bf16(jnp.concatenate(
+            [g0[r * S:(r + 1) * S, :], g4[r * S:(r + 1) * S, :]], axis=1))
+        dWcat_ref[:] += jax.lax.dot_general(
+            encs[r], g_cat, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (72, 2D)
+        dpeT = jax.lax.dot_general(
+            wcat72, g_cat, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (72, S)
+        # d(enc)/d(arg): id rows 1, sin rows cos(A), cos rows -sin(A) — the
+        # forward's own trig values, reused
+        dA = jnp.concatenate(
+            [dpeT[0:8, :],
+             dpeT[8:40, :] * coss[r] - dpeT[40:72, :] * sins[r]], axis=0)
+        vT_r = vT[r * ARG_ROWS_BWD:r * ARG_ROWS_BWD + DA_ROWS]  # scaled v
+        dz_rows.append(jnp.sum(dA * vT_r, axis=0, keepdims=True))   # (1,S)
+        dAz = dA * z_rs[r:r + 1, :]                      # z stays lane-major
+        ov_cols.append([jnp.sum(dA * m) for m in msks40]
+                       + [jnp.sum(dAz * m) for m in msks40])
+    g_z = g_z + jnp.concatenate(dz_rows, axis=0)
+
+    # ---- dir-encoding + ray-table cotangents --------------------------------
     dde_r = jnp.sum(dde.reshape(R, S, DE_DIM), axis=1)      # (R,32)
-    d_dF = dde_r * _lane_select(dF, DE_LEVELS, "deriv")             # (R,32)
-    g_z = g_z + jnp.sum(dA3 * vF[:, None, :], axis=2)       # (R,S)
-    d_oF = jnp.sum(dA3, axis=1)                             # (R,64)
-    d_vF = jnp.sum(z_rs[:, :, None] * dA3, axis=1)          # (R,64)
-
-    # d(ray table): invert _ray_rows — masked lane reductions per coordinate.
-    pe_scale, pe_c0, pe_c1, pe_c2 = pe_rows
-    de_scale, de_c0, de_c1, de_c2 = de_rows
-    cols = []
-    for d_, scale, cms in ((d_oF, pe_scale, (pe_c0, pe_c1, pe_c2)),
-                           (d_vF, pe_scale, (pe_c0, pe_c1, pe_c2)),
-                           (d_dF, de_scale, (de_c0, de_c1, de_c2))):
-        ds = d_ * scale
-        for cm in cms:
-            cols.append(jnp.sum(ds * cm, axis=1, keepdims=True))  # (R,1)
-    drays = jnp.zeros((R, RAY_DIM), jnp.float32)
-    for c, col in enumerate(cols):
-        drays = jnp.where(lane128 == c, col, drays)
-    drays_ref[:] = drays
-    gz_ref[:] = g_z
+    d_dF = dde_r * _lane_select(dF, DE_LEVELS, "deriv")     # (R,32)
+    lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, RAY_DIM), 1)
+    rows = []
+    for r in range(R):
+        row = jnp.zeros((1, RAY_DIM), jnp.float32)
+        for c, v in enumerate(ov_cols[r]):              # d_o xyz, d_v xyz
+            row = jnp.where(lane_row == c, v, row)
+        rows.append(row)
+    drays = jnp.concatenate(rows, axis=0)
+    for c, m in enumerate(_de_row_masks()):             # mlp_dir xyz
+        col = jnp.sum(d_dF * m, axis=1, keepdims=True)  # (R,1)
+        drays = jnp.where(lane128 == 6 + c, col, drays)
+    return drays, g_z
 
 
-def _render_bwd_kernel(cfg: NerfConfig, dist_alpha: bool, R: int, S: int,
-                       rays_ref, z_ref, *refs):
-    aux = [r[:] for r in refs[:N_AUX]]
-    pe_rows, de_rows = tuple(aux[0:4]), tuple(aux[4:8])
-    ltS, ltT = aux[8], aux[9]
-    W = tuple(w[:] for w in refs[N_AUX:N_AUX + 14])
-    B = tuple(b[:] for b in refs[N_AUX + 14:N_AUX + 26])
-    g_perray_ref = refs[N_AUX + 26]
-    g_w_ref, g_a_ref = refs[N_AUX + 27], refs[N_AUX + 28]
-    dW_refs = refs[N_AUX + 29:N_AUX + 43]
-    dB_refs = refs[N_AUX + 43:N_AUX + 55]
-    drays_ref, gz_ref = refs[N_AUX + 55], refs[N_AUX + 56]
+def _dw14(core_refs):
+    """12 core dW refs -> 14-list with None at the w0/w4pe slots (accumulated
+    enc-major into dWcat_ref instead)."""
+    out = [None] * 14
+    for i, ref in zip((1, 2, 3, 4, 6, 7, 8, 9, 10, 11, 12, 13), core_refs):
+        out[i] = ref
+    return out
 
-    T = R * S
-    rays = rays_ref[:]
-    z_rs = z_ref[:]
 
-    # ---- forward recompute --------------------------------------------------
-    A_pe, dF, vF = _encode_tile(rays, z_rs, R, S, pe_rows, de_rows)
-    pe = _bf16(_lane_select_packed(A_pe, PE_LEVELS, "enc"))
-    de = _de_broadcast(_lane_select(dF, DE_LEVELS, "enc"), R, S)
-    rgb_raw, sig_raw, acts = _fwd_chain(pe, de, W, B)
-    alpha, occ, raw_rs, deltas = _alpha_forward(sig_raw, z_rs, R, S, cfg,
-                                                dist_alpha)
-    trans, weights, _ = _composite_forward(alpha, z_rs, ltS)
-    rgb3 = jax.nn.sigmoid(rgb_raw).reshape(R, S, RAY_DIM)
-    w3 = weights[:, :, None]                                  # (R,S,1)
+def _render_bwd_kernel(cfg: NerfConfig, dist_alpha: bool, nchain: int,
+                       S: int, ov_ref, z_ref, de_ref, dF_ref, *refs):
+    """Backward tile: `nchain` independent RAYS_BWD-ray chains, enc-major
+    forward recompute (flash-style) + shared backward tail. dW/dB accumulate
+    across chains AND grid steps; the w0/w4pe grads accumulate enc-major in
+    dWcat (72, 2D) and are row-unpacked in XLA (_unw72)."""
+    R = RAYS_BWD
+    ltS, ltT = refs[0][:], refs[1][:]
+    W = tuple(w[:] for w in refs[2:16])
+    B = tuple(b[:] for b in refs[16:28])
+    wcat72 = refs[28][:]
+    g_perray_ref, g_w_ref, g_a_ref = refs[29], refs[30], refs[31]
+    dW_core = refs[32:44]
+    dWcat_ref = refs[44]
+    dB_refs = refs[45:57]
+    drays_ref, gz_ref = refs[57], refs[58]
+    dW14 = _dw14(dW_core)
+
+    z_all = z_ref[:]
+    de_all = de_ref[:]
+    dF_all = dF_ref[:]
+    g_perray_all = g_perray_ref[:]
+    g_w_all = g_w_ref[:]
+    g_a_all = g_a_ref[:]
 
     @pl.when(pl.program_id(0) == 0)
     def _():
-        for r in dW_refs:
+        for r in dW_core:
             r[:] = jnp.zeros_like(r)
+        dWcat_ref[:] = jnp.zeros_like(dWcat_ref)
         for r in dB_refs:
             r[:] = jnp.zeros_like(r)
 
-    # ---- composite backward (incoming cotangents; shared tail) --------------
-    g_perray = g_perray_ref[:]                       # (R,128): rgb 0-2, dist 3
     lane128 = jax.lax.broadcasted_iota(jnp.int32, (R, RAY_DIM), 1)
-    g_rgb_ray = jnp.where(lane128 < 3, g_perray, 0.0)         # (R,128)
-    g_dist = g_perray[:, 3:4]                                 # (R,1)
+    drays_list, gz_list = [], []
+    for h in range(nchain):
+        sl = slice(h * R, (h + 1) * R)
+        z_rs = z_all[sl]
+        ov = ov_ref[:, h * R * ARG_ROWS_BWD:(h + 1) * R * ARG_ROWS_BWD]
 
-    # white background is applied OUTSIDE this kernel (render_nope_nerf), so
-    # its gradient arrives through g_w_ref — white_bg stays False here.
-    _backward_tail(cfg, dist_alpha, R, S, ltT, pe_rows, de_rows, A_pe, dF, vF,
-                   pe, de, acts, z_rs, rgb3, w3, alpha, occ, raw_rs, deltas,
-                   trans, weights, g_rgb_ray, g_dist, g_w_ref[:], g_a_ref[:],
-                   False, W, dW_refs, dB_refs, drays_ref, gz_ref)
+        # ---- forward recompute (enc-major; ctx kept for the deriv) ----------
+        x0, pe4, enc_ctx = _encmajor_fwd(ov, z_rs, S, wcat72, B[0],
+                                         keep_ctx=True,
+                                         arg_rows=ARG_ROWS_BWD)
+        de = _de_broadcast(de_all[sl], R, S)
+        rgb_raw, sig_raw, acts = _fwd_tail(x0, pe4, de, W, B)
+        alpha, occ, raw_rs, deltas = _alpha_forward(sig_raw, z_rs, R, S, cfg,
+                                                    dist_alpha)
+        trans, weights, _ = _composite_forward(alpha, z_rs, ltS)
+        rgb3 = jax.nn.sigmoid(rgb_raw).reshape(R, S, RAY_DIM)
+        w3 = weights[:, :, None]                              # (R,S,1)
+
+        # ---- composite backward (incoming cotangents; shared tail) ----------
+        g_perray = g_perray_all[sl]                  # (R,128): rgb 0-2, dist 3
+        g_rgb_ray = jnp.where(lane128 < 3, g_perray, 0.0)     # (R,128)
+        g_dist = g_perray[:, 3:4]                             # (R,1)
+
+        # white background is applied OUTSIDE this kernel (render_nope_nerf),
+        # so its gradient arrives through g_w_ref — white_bg stays False here.
+        drays, g_z = _backward_tail(
+            cfg, dist_alpha, R, S, ltT, enc_ctx, dF_all[sl],
+            de, acts, z_rs, rgb3, w3, alpha, occ, raw_rs, deltas,
+            trans, weights, g_rgb_ray, g_dist, g_w_all[sl], g_a_all[sl],
+            False, W, wcat72, dW14, dB_refs, dWcat_ref)
+        drays_list.append(drays)
+        gz_list.append(g_z)
+    drays_ref[:] = jnp.concatenate(drays_list, axis=0)
+    gz_ref[:] = jnp.concatenate(gz_list, axis=0)
 
 
 def _render_train_kernel(cfg: NerfConfig, dist_alpha: bool, rgb_p: int,
-                         white_bg: bool, R: int, S: int,
-                         rays_ref, z_ref, *refs):
+                         white_bg: bool, nchain: int, S: int,
+                         ov_ref, z_ref, de_ref, dF_ref, *refs):
     """Train-step kernel: ONE program per tile produces the rgb/depth loss sums
     AND every gradient — no separate forward pallas call exists in the step.
 
     The rgb/depth cotangents are analytic functions of the recomputed forward
-    (g_rgb = w_rgb'·d|rgb-gt|^p, g_dist = w_depth'·mask·sign(dist-dgt)), so they
-    are formed in VMEM from the per-ray target table instead of arriving as
-    inputs. Everything after the cotangent prologue is the _render_bwd_kernel
-    tail verbatim (with zero incoming g_w/g_a).
+    (g_rgb = w_rgb'·d|rgb-gt|^p, g_dist = w_depth'·mask·sign(dist-dgt)), so
+    they are formed in VMEM from the per-ray target table instead of arriving
+    as inputs. Everything after the cotangent prologue is the
+    _render_bwd_kernel tail verbatim (with zero incoming g_w/g_a).
     """
-    aux = [r[:] for r in refs[:N_AUX]]
-    pe_rows, de_rows = tuple(aux[0:4]), tuple(aux[4:8])
-    ltS, ltT = aux[8], aux[9]
-    W = tuple(w[:] for w in refs[N_AUX:N_AUX + 14])
-    B = tuple(b[:] for b in refs[N_AUX + 14:N_AUX + 26])
-    tgt_ref = refs[N_AUX + 26]
-    dW_refs = refs[N_AUX + 27:N_AUX + 41]
-    dB_refs = refs[N_AUX + 41:N_AUX + 53]
-    drays_ref, gz_ref = refs[N_AUX + 53], refs[N_AUX + 54]
-    dtgt_ref, sums_ref = refs[N_AUX + 55], refs[N_AUX + 56]
+    R = RAYS_BWD
+    ltS, ltT = refs[0][:], refs[1][:]
+    W = tuple(w[:] for w in refs[2:16])
+    B = tuple(b[:] for b in refs[16:28])
+    wcat72 = refs[28][:]
+    tgt_ref = refs[29]
+    dW_core = refs[30:42]
+    dWcat_ref = refs[42]
+    dB_refs = refs[43:55]
+    drays_ref, gz_ref = refs[55], refs[56]
+    dtgt_ref, sums_ref = refs[57], refs[58]
+    dW14 = _dw14(dW_core)
 
-    T = R * S
-    rays = rays_ref[:]
-    z_rs = z_ref[:]
-    tgt = tgt_ref[:]
-
-    # ---- forward recompute --------------------------------------------------
-    A_pe, dF, vF = _encode_tile(rays, z_rs, R, S, pe_rows, de_rows)
-    pe = _bf16(_lane_select_packed(A_pe, PE_LEVELS, "enc"))
-    de = _de_broadcast(_lane_select(dF, DE_LEVELS, "enc"), R, S)
-    rgb_raw, sig_raw, acts = _fwd_chain(pe, de, W, B)
-    alpha, occ, raw_rs, deltas = _alpha_forward(sig_raw, z_rs, R, S, cfg,
-                                                dist_alpha)
-    trans, weights, dist = _composite_forward(alpha, z_rs, ltS)
-    rgb3 = jax.nn.sigmoid(rgb_raw).reshape(R, S, RAY_DIM)
-    w3 = weights[:, :, None]                                  # (R,S,1)
+    z_all = z_ref[:]
+    de_all = de_ref[:]
+    dF_all = dF_ref[:]
+    tgt_all = tgt_ref[:]
 
     @pl.when(pl.program_id(0) == 0)
     def _():
-        for r in dW_refs:
+        for r in dW_core:
             r[:] = jnp.zeros_like(r)
+        dWcat_ref[:] = jnp.zeros_like(dWcat_ref)
         for r in dB_refs:
             r[:] = jnp.zeros_like(r)
         sums_ref[:] = jnp.zeros_like(sums_ref)
 
-    # ---- loss values + analytic cotangents ----------------------------------
     lane128 = jax.lax.broadcasted_iota(jnp.int32, (R, RAY_DIM), 1)
     is_rgb = lane128 < 3
-    ray_rgb = jnp.sum(w3 * rgb3, axis=1)                      # (R,128)
-    if white_bg:
-        acc = jnp.sum(weights, axis=1, keepdims=True)         # (R,1)
-        ray_rgb = jnp.where(is_rgb, ray_rgb + (1.0 - acc), ray_rgb)
-    diff = jnp.where(is_rgb, ray_rgb - tgt, 0.0)              # (R,128)
-    m = tgt[:, TGT_MASK:TGT_MASK + 1]                         # (R,1)
-    w_rgb = tgt[:, TGT_WRGB:TGT_WRGB + 1]
-    w_depth = tgt[:, TGT_WDEPTH:TGT_WDEPTH + 1]
-    dgt = tgt[:, TGT_DEPTH:TGT_DEPTH + 1]
-    ddiff = dist - dgt                                        # (R,1)
+    s_rgb = s_depth = s_l2 = jnp.float32(0.0)
+    drays_list, gz_list, dtgt_list = [], [], []
+    for h in range(nchain):
+        sl = slice(h * R, (h + 1) * R)
+        z_rs = z_all[sl]
+        tgt = tgt_all[sl]
+        ov = ov_ref[:, h * R * ARG_ROWS_BWD:(h + 1) * R * ARG_ROWS_BWD]
 
-    row_rgb = jnp.sum(jnp.abs(diff) if rgb_p == 1 else diff * diff,
-                      axis=1, keepdims=True)                  # (R,1)
-    row_depth = m * jnp.abs(ddiff)                            # (R,1)
-    s_rgb = jnp.sum(row_rgb)
-    s_depth = jnp.sum(row_depth)
-    s_l2 = jnp.sum(diff * diff)
+        # ---- forward recompute (enc-major; ctx kept for the deriv) ----------
+        x0, pe4, enc_ctx = _encmajor_fwd(ov, z_rs, S, wcat72, B[0],
+                                         keep_ctx=True,
+                                         arg_rows=ARG_ROWS_BWD)
+        de = _de_broadcast(de_all[sl], R, S)
+        rgb_raw, sig_raw, acts = _fwd_tail(x0, pe4, de, W, B)
+        alpha, occ, raw_rs, deltas = _alpha_forward(sig_raw, z_rs, R, S, cfg,
+                                                    dist_alpha)
+        trans, weights, dist = _composite_forward(alpha, z_rs, ltS)
+        rgb3 = jax.nn.sigmoid(rgb_raw).reshape(R, S, RAY_DIM)
+        w3 = weights[:, :, None]                              # (R,S,1)
 
-    g_rgb_ray = w_rgb * (jnp.sign(diff) if rgb_p == 1 else 2.0 * diff)
-    g_dist = w_depth * m * jnp.sign(ddiff)                    # (R,1)
+        # ---- loss values + analytic cotangents ------------------------------
+        ray_rgb = jnp.sum(w3 * rgb3, axis=1)                  # (R,128)
+        if white_bg:
+            acc = jnp.sum(weights, axis=1, keepdims=True)     # (R,1)
+            ray_rgb = jnp.where(is_rgb, ray_rgb + (1.0 - acc), ray_rgb)
+        diff = jnp.where(is_rgb, ray_rgb - tgt, 0.0)          # (R,128)
+        m = tgt[:, TGT_MASK:TGT_MASK + 1]                     # (R,1)
+        w_rgb = tgt[:, TGT_WRGB:TGT_WRGB + 1]
+        w_depth = tgt[:, TGT_WDEPTH:TGT_WDEPTH + 1]
+        dgt = tgt[:, TGT_DEPTH:TGT_DEPTH + 1]
+        ddiff = dist - dgt                                    # (R,1)
+
+        row_rgb = jnp.sum(jnp.abs(diff) if rgb_p == 1 else diff * diff,
+                          axis=1, keepdims=True)              # (R,1)
+        row_depth = m * jnp.abs(ddiff)                        # (R,1)
+        s_rgb = s_rgb + jnp.sum(row_rgb)
+        s_depth = s_depth + jnp.sum(row_depth)
+        s_l2 = s_l2 + jnp.sum(diff * diff)
+
+        g_rgb_ray = w_rgb * (jnp.sign(diff) if rgb_p == 1 else 2.0 * diff)
+        g_dist = w_depth * m * jnp.sign(ddiff)                # (R,1)
+
+        # d(target table): rgb_gt lanes, depth_gt lane, and the exact per-row
+        # grads of the broadcast weight lanes (their upstream vjp sums rows ->
+        # d/d scalar).
+        dt = jnp.where(is_rgb, -g_rgb_ray, 0.0)
+        dt = jnp.where(lane128 == TGT_DEPTH, -g_dist, dt)
+        dt = jnp.where(lane128 == TGT_WRGB, row_rgb, dt)
+        dt = jnp.where(lane128 == TGT_WDEPTH, row_depth, dt)
+        dtgt_list.append(dt)
+
+        # ---- shared backward tail (zero incoming g_w/g_a; white_bg folded) --
+        drays, g_z = _backward_tail(
+            cfg, dist_alpha, R, S, ltT, enc_ctx, dF_all[sl],
+            de, acts, z_rs, rgb3, w3, alpha, occ, raw_rs, deltas,
+            trans, weights, g_rgb_ray, g_dist, None, None,
+            white_bg, W, wcat72, dW14, dB_refs, dWcat_ref)
+        drays_list.append(drays)
+        gz_list.append(g_z)
 
     row8 = jax.lax.broadcasted_iota(jnp.int32, (8, RAY_DIM), 0)
     lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, RAY_DIM), 1)
@@ -565,24 +672,25 @@ def _render_train_kernel(cfg: NerfConfig, dist_alpha: bool, rgb_p: int,
                      jnp.where(lane8 == 1, s_depth,
                                jnp.where(lane8 == 2, s_l2, 0.0)))
     sums_ref[:] = sums_ref[:] + jnp.where(row8 == 0, vals, 0.0)
-
-    # d(target table): rgb_gt lanes, depth_gt lane, and the exact per-row grads
-    # of the broadcast weight lanes (their upstream vjp sums rows -> d/d scalar).
-    dt = jnp.where(is_rgb, -g_rgb_ray, 0.0)
-    dt = jnp.where(lane128 == TGT_DEPTH, -g_dist, dt)
-    dt = jnp.where(lane128 == TGT_WRGB, row_rgb, dt)
-    dt = jnp.where(lane128 == TGT_WDEPTH, row_depth, dt)
-    dtgt_ref[:] = dt
-
-    # ---- shared backward tail (zero incoming g_w/g_a; white_bg folded in) ---
-    _backward_tail(cfg, dist_alpha, R, S, ltT, pe_rows, de_rows, A_pe, dF, vF,
-                   pe, de, acts, z_rs, rgb3, w3, alpha, occ, raw_rs, deltas,
-                   trans, weights, g_rgb_ray, g_dist, None, None,
-                   white_bg, W, dW_refs, dB_refs, drays_ref, gz_ref)
+    dtgt_ref[:] = jnp.concatenate(dtgt_list, axis=0)
+    drays_ref[:] = jnp.concatenate(drays_list, axis=0)
+    gz_ref[:] = jnp.concatenate(gz_list, axis=0)
 
 
 def _ray_tile_spec(cols, rows):
     return pl.BlockSpec((rows, cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+
+def _encmajor_xla_inputs(rays, weights, arg_rows: int = ARG_ROWS):
+    """XLA-side kernel inputs shared by the fwd/bwd/train wrappers: the
+    enc-major arg tables, the per-ray dir-encoding args + values (f32;
+    identical math to the old in-kernel selects, so parity is unchanged),
+    and the column-concatenated (72, 2D) [w0|w4pe] enc-major weight."""
+    ov = _ray_arg_table(rays, arg_rows)
+    dF = _ray_rows(rays, 6, _enc_rows(DE_LEVELS, DE_DIM))
+    de_enc = _lane_select(dF, DE_LEVELS, "enc")   # f32; _de_broadcast casts
+    wcat72 = jnp.concatenate([_w72(weights[0]), _w72(weights[5])], axis=1)
+    return ov, de_enc, dF, wcat72
 
 
 def _raw_render_fwd(rays, z, weights, biases, cfg: NerfConfig,
@@ -596,10 +704,7 @@ def _raw_render_fwd(rays, z, weights, biases, cfg: NerfConfig,
     n = n0 + pad
     grid = (n // R,)
     ltS, _ = (jnp.asarray(a) for a in _tri_masks_np(S))
-    ov = _ray_arg_table(rays)
-    dF = _ray_rows(rays, 6, _enc_rows(DE_LEVELS, DE_DIM))
-    de_enc = _lane_select(dF, DE_LEVELS, "enc")   # f32; _de_broadcast casts
-    wcat72 = jnp.concatenate([_w72(weights[0]), _w72(weights[5])], axis=1)
+    ov, de_enc, _dF, wcat72 = _encmajor_xla_inputs(rays, weights)
     w_specs = [_rep_spec(w.shape) for w in weights]
     b_specs = [_rep_spec(b.shape) for b in biases]
     out_specs = [_ray_tile_spec(RAY_DIM, R)]
@@ -626,36 +731,72 @@ def _raw_render_fwd(rays, z, weights, biases, cfg: NerfConfig,
     return outs[0][:n0], None, None
 
 
+def _bwd_nchain(n: int) -> int:
+    """Chains per backward/train tile. Measured on v5e (BASELINE workload,
+    100-step scan of the full train-kernel grad): 1 chain 3.73 ms, 2 chains
+    4.31, 4 chains 4.02 — unlike the forward kernel, multi-chain REGRESSES
+    the fwd+bwd recompute kernel (it is MXU-dominated and the extra live
+    activations hurt VMEM pipelining), so this stays 1. The kernels keep the
+    chain loop so the forward's overlap structure and this one share code;
+    values are bitwise-identical across chain counts."""
+    return 1
+
+
 def _raw_render_bwd(rays, z, weights, biases, g_perray, g_w, g_a,
                     cfg: NerfConfig, dist_alpha: bool):
     n, S = z.shape
-    R = RAYS_BWD
+    nchain = _bwd_nchain(n)
+    R = RAYS_BWD * nchain
     grid = (n // R,)
-    aux = _aux_inputs(S)
+    D = weights[1].shape[1]
+    ltS, ltT = (jnp.asarray(a) for a in _tri_masks_np(S))
+    ov, de_enc, dF, wcat72 = _encmajor_xla_inputs(rays, weights,
+                                                  ARG_ROWS_BWD)
     w_specs = [_rep_spec(w.shape) for w in weights]
     b_specs = [_rep_spec(b.shape) for b in biases]
-    out_shapes = ([jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in weights]
-                  + [jax.ShapeDtypeStruct(b.shape, jnp.float32) for b in biases]
+    core_idx = (1, 2, 3, 4, 6, 7, 8, 9, 10, 11, 12, 13)
+    core_shapes = [weights[i].shape for i in core_idx]
+    out_shapes = ([jax.ShapeDtypeStruct(sh, jnp.float32) for sh in core_shapes]
+                  + [jax.ShapeDtypeStruct((ENC_ROWS, 2 * D), jnp.float32)]
+                  + [jax.ShapeDtypeStruct(b.shape, jnp.float32)
+                     for b in biases]
                   + [jax.ShapeDtypeStruct((n, RAY_DIM), jnp.float32),
                      jax.ShapeDtypeStruct((n, S), jnp.float32)])
-    out_specs = (w_specs + b_specs
+    out_specs = ([_rep_spec(sh) for sh in core_shapes]
+                 + [_rep_spec((ENC_ROWS, 2 * D))] + b_specs
                  + [_ray_tile_spec(RAY_DIM, R), _ray_tile_spec(S, R)])
     outs = pl.pallas_call(
-        functools.partial(_render_bwd_kernel, cfg, dist_alpha, R, S),
+        functools.partial(_render_bwd_kernel, cfg, dist_alpha, nchain, S),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=100 * 1024 * 1024),
         grid=grid,
-        in_specs=([_ray_tile_spec(RAY_DIM, R), _ray_tile_spec(S, R)]
-                  + [_rep_spec(a.shape) for a in aux] + w_specs + b_specs
+        in_specs=([pl.BlockSpec((2, R * ARG_ROWS_BWD), lambda i: (0, i),
+                                memory_space=pltpu.VMEM),
+                   _ray_tile_spec(S, R), _ray_tile_spec(DE_DIM, R),
+                   _ray_tile_spec(DE_DIM, R),
+                   _rep_spec(ltS.shape), _rep_spec(ltT.shape)]
+                  + w_specs + b_specs + [_rep_spec(wcat72.shape)]
                   + [_ray_tile_spec(RAY_DIM, R), _ray_tile_spec(S, R),
                      _ray_tile_spec(S, R)]),
         out_specs=out_specs,
         out_shape=out_shapes,
-    )(rays, z, *aux, *weights, *biases, g_perray, g_w, g_a)
-    dWs = outs[:14]
-    dBs = outs[14:26]
-    drays, gz = outs[26], outs[27]
+    )(ov, z, de_enc, dF, ltS, ltT, *weights, *biases, wcat72,
+      g_perray, g_w, g_a)
+    dW_core = outs[:12]
+    dWcat = outs[12]
+    dBs = outs[13:25]
+    drays, gz = outs[25], outs[26]
+    dWs = _reassemble_dws(dW_core, dWcat, D)
     return dWs, dBs, drays, gz
+
+
+def _reassemble_dws(core, dWcat, D):
+    """(12 core dW, (72,2D) enc-major dWcat) -> the 14-tuple dW contract."""
+    dW0 = _unw72(dWcat[:, :D])
+    dW4pe = _unw72(dWcat[:, D:])
+    it = iter(core)
+    return tuple(dW0 if i == 0 else dW4pe if i == 5 else next(it)
+                 for i in range(14))
 
 
 def pack_rays(origin: jax.Array, ray_vec: jax.Array,
@@ -769,34 +910,50 @@ def pack_targets(rgb_gt: jax.Array, depth_gt: jax.Array, mask: jax.Array,
 def _raw_render_train(rays, z, tgt, weights, biases, cfg: NerfConfig,
                       dist_alpha: bool, rgb_p: int, white_bg: bool):
     n, S = z.shape
-    R = RAYS_BWD
+    nchain = _bwd_nchain(n)
+    R = RAYS_BWD * nchain
     grid = (n // R,)
-    aux = _aux_inputs(S)
+    D = weights[1].shape[1]
+    ltS, ltT = (jnp.asarray(a) for a in _tri_masks_np(S))
+    ov, de_enc, dF, wcat72 = _encmajor_xla_inputs(rays, weights,
+                                                  ARG_ROWS_BWD)
     w_specs = [_rep_spec(w.shape) for w in weights]
     b_specs = [_rep_spec(b.shape) for b in biases]
-    out_shapes = ([jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in weights]
-                  + [jax.ShapeDtypeStruct(b.shape, jnp.float32) for b in biases]
+    core_idx = (1, 2, 3, 4, 6, 7, 8, 9, 10, 11, 12, 13)
+    core_shapes = [weights[i].shape for i in core_idx]
+    out_shapes = ([jax.ShapeDtypeStruct(sh, jnp.float32) for sh in core_shapes]
+                  + [jax.ShapeDtypeStruct((ENC_ROWS, 2 * D), jnp.float32)]
+                  + [jax.ShapeDtypeStruct(b.shape, jnp.float32)
+                     for b in biases]
                   + [jax.ShapeDtypeStruct((n, RAY_DIM), jnp.float32),
                      jax.ShapeDtypeStruct((n, S), jnp.float32),
                      jax.ShapeDtypeStruct((n, RAY_DIM), jnp.float32),
                      jax.ShapeDtypeStruct((8, RAY_DIM), jnp.float32)])
-    out_specs = (w_specs + b_specs
+    out_specs = ([_rep_spec(sh) for sh in core_shapes]
+                 + [_rep_spec((ENC_ROWS, 2 * D))] + b_specs
                  + [_ray_tile_spec(RAY_DIM, R), _ray_tile_spec(S, R),
                     _ray_tile_spec(RAY_DIM, R), _rep_spec((8, RAY_DIM))])
     outs = pl.pallas_call(
         functools.partial(_render_train_kernel, cfg, dist_alpha, rgb_p,
-                          white_bg, R, S),
+                          white_bg, nchain, S),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=100 * 1024 * 1024),
         grid=grid,
-        in_specs=([_ray_tile_spec(RAY_DIM, R), _ray_tile_spec(S, R)]
-                  + [_rep_spec(a.shape) for a in aux] + w_specs + b_specs
+        in_specs=([pl.BlockSpec((2, R * ARG_ROWS_BWD), lambda i: (0, i),
+                                memory_space=pltpu.VMEM),
+                   _ray_tile_spec(S, R), _ray_tile_spec(DE_DIM, R),
+                   _ray_tile_spec(DE_DIM, R),
+                   _rep_spec(ltS.shape), _rep_spec(ltT.shape)]
+                  + w_specs + b_specs + [_rep_spec(wcat72.shape)]
                   + [_ray_tile_spec(RAY_DIM, R)]),
         out_specs=out_specs,
         out_shape=out_shapes,
-    )(rays, z, *aux, *weights, *biases, tgt)
-    dWs, dBs = outs[:14], outs[14:26]
-    drays, gz, dtgt, sums8 = outs[26], outs[27], outs[28], outs[29]
+    )(ov, z, de_enc, dF, ltS, ltT, *weights, *biases, wcat72, tgt)
+    dW_core = outs[:12]
+    dWcat = outs[12]
+    dBs = outs[13:25]
+    drays, gz, dtgt, sums8 = outs[25], outs[26], outs[27], outs[28]
+    dWs = _reassemble_dws(dW_core, dWcat, D)
     return dWs, dBs, drays, gz, dtgt, sums8
 
 

@@ -10,6 +10,14 @@ mode 'eval' runs the multi-host tiled full-frame eval render
 (Trainer.render_frame_multihost): each process renders its disjoint row slab,
 the assembled frame is allgathered, and every process writes
 <outdir>/frame_<pid>.npz (rgb, depth) plus its own raw tile.
+mode 'ckpt' exercises checkpoint/resume across processes (process-0 write
+gate + both-process restore; VERDICT round-3 item 7): a 2-step train +
+save + restore + 2-step continuation must equal an uninterrupted 4-step run,
+identically on both processes. It then runs two scan-fused test-time
+pose-opt epochs (evaluation/pose_opt.py) under the same 2-process setup and
+prints the learned-pose checksum. Output:
+    MP_CKPT <pid> <resumed_loss> <straight_loss> <resumed_wsum> \
+        <straight_wsum> <poseopt_sum>
 """
 
 import os
@@ -84,6 +92,63 @@ def main() -> None:
 
     mesh = make_mesh(nproc * local_devices)  # the GLOBAL mesh, spanning hosts
     trainer = Trainer(cfg, mc, optimizers, mesh=mesh)
+
+    if mode == "ckpt":
+        from jax.experimental import multihost_utils
+
+        from nope_nerf_tpu.training.checkpoints import (load_checkpoint,
+                                                        save_checkpoint)
+
+        def globalize_state(st):
+            return type(st)(
+                params=globalize_replicated(st.params, mesh),
+                opt_state=globalize_replicated(st.opt_state, mesh),
+                it=globalize_replicated(st.it, mesh),
+                rng=jax.random.wrap_key_data(
+                    globalize_replicated(jax.random.key_data(st.rng), mesh)))
+
+        order = host_frame_schedule(3, epoch=0, seed=5)
+        rng = np.random.RandomState(0)
+        batches = [{k: jnp.asarray(v) for k, v in
+                    batch_for_frame(scene, int(f), rng=rng).items()}
+                   for f in (list(order) + list(order))[:4]]
+
+        def run(st, bs):
+            ld = None
+            for b in bs:
+                st, ld = trainer.step(st, globalize_replicated(b, mesh),
+                                      epoch=0, scheduling_start=10000)
+            return st, ld
+
+        # branch A: 4 uninterrupted steps
+        stA, ldA = run(globalize_state(state), batches)
+        # branch B: 2 steps, process-0 checkpoints, BOTH restore, 2 more
+        stB, _ = run(globalize_state(state), batches[:2])
+        save_checkpoint(outdir, "model.ckpt", stB, {"epoch": 1})
+        multihost_utils.sync_global_devices("ckpt-written")
+        fresh, _ = create_train_state(jax.random.key(7), mc,
+                                      init_c2w=jnp.asarray(scene.c2ws_gt))
+        restored, scalars = load_checkpoint(outdir, "model.ckpt", fresh)
+        assert scalars["epoch"] == 1
+        stB, ldB = run(globalize_state(restored), batches[2:])
+
+        wA = float(jnp.sum(jnp.abs(stA.params["nerf"]["density_w"])))
+        wB = float(jnp.sum(jnp.abs(stB.params["nerf"]["density_w"])))
+
+        # scan-fused test-time pose opt under 2 processes (replicated local
+        # computation; must be deterministic and identical across processes)
+        from nope_nerf_tpu.evaluation.pose_opt import optimize_test_poses
+        eval_scene = SceneData.from_dict(
+            dict(make_synthetic_scene(n_frames=2, h=24, w=32)))
+        _, c2ws = optimize_test_poses(
+            jax.device_get(stA.params["nerf"]), None, eval_scene,
+            mc.nerf, mc.render, init_c2ws=eval_scene.c2ws_gt,
+            n_points=32, n_epochs=2, log_every=0)
+        psum = float(np.sum(np.abs(c2ws)))
+        print(f"MP_CKPT {pid} {float(ldB['loss']):.8f} "
+              f"{float(ldA['loss']):.8f} {wB:.6f} {wA:.6f} {psum:.6f}",
+              flush=True)
+        return
 
     # every jit input must be a GLOBAL array in multi-process mode; all values
     # are identical across hosts, so replicate them (key arrays via key_data)

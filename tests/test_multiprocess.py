@@ -162,3 +162,45 @@ def test_two_process_tiled_eval_matches_single_process(tmp_path):
     full = trainer.render_frame(state, batch, (24, 32), chunk=256)
     np.testing.assert_array_equal(f0["rgb"], np.asarray(full["rgb"]))
     np.testing.assert_array_equal(f0["depth"], np.asarray(full["depth"]))
+
+
+def test_two_process_checkpoint_resume_and_pose_opt(tmp_path):
+    """Checkpoint/resume across processes (VERDICT round-3 item 7): process-0
+    writes (the gate), BOTH processes restore and continue — the resumed run
+    must equal an uninterrupted run bit-for-bit, identically on both
+    processes; plus two scan-fused test-time pose-opt epochs under the same
+    2-process setup (identical learned poses on both)."""
+    port = _free_port()
+    env = {**os.environ, "PYTHONPATH": REPO + os.pathsep
+           + os.environ.get("PYTHONPATH", "")}
+    env.pop("JAX_PLATFORMS", None)
+    procs = [subprocess.Popen(
+        [sys.executable, WORKER, str(i), "2", str(port), "ckpt",
+         str(tmp_path)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
+        for i in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=540)
+            outs.append(out)
+            assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+
+    results = {}
+    for out in outs:
+        m = re.search(r"MP_CKPT (\d+) ([\d.eE+-]+) ([\d.eE+-]+) ([\d.eE+-]+) "
+                      r"([\d.eE+-]+) ([\d.eE+-]+)", out)
+        assert m, f"no MP_CKPT in:\n{out[-3000:]}"
+        results[int(m.group(1))] = tuple(float(m.group(i))
+                                         for i in range(2, 7))
+    assert set(results) == {0, 1}
+    for pid, (l_res, l_straight, w_res, w_straight, psum) in results.items():
+        # resumed == uninterrupted (exact restore: params, opt state, rng)
+        assert l_res == l_straight, (pid, results[pid])
+        assert w_res == w_straight, (pid, results[pid])
+    # both processes agree on everything (incl. the pose-opt outcome)
+    np.testing.assert_allclose(results[0], results[1], rtol=0, atol=0)
