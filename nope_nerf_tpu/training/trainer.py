@@ -45,14 +45,21 @@ from .state import ModelConfigs, TrainState, apply_updates_with_lr
 
 
 def _draw_rays(key: jax.Array, hw: int, n: int) -> jax.Array:
-    """Uniform sample of n distinct pixel indices from [0, hw).
+    """n distinct pixel indices from [0, hw) — STRATIFIED-like, not the
+    reference's uniform-without-replacement randperm(h*w)[:n].
 
-    Same semantics as the reference's randperm(h*w)[:n] (training.py:277): a
-    uniform without-replacement draw (any n-subset equally likely — the random
-    keys are i.i.d., so which ones land in the top-k is exchangeable). Uses the
-    TPU-native partial top-k over random keys instead of a full 116k-element
-    sort. approx_max_k's recall<1 only substitutes some top-k members with
-    other random-key'd indices — the draw stays uniform without replacement.
+    approx_max_k partitions the array into bins and keeps each bin's top
+    candidates, so it cannot return many indices from one bin: the draw is
+    closer to stratified sampling over pixel-index blocks than to a uniform
+    n-subset (the earlier exchangeability argument here was wrong — the
+    selection function is not symmetric in positions). Deliberate, documented
+    deviation (PARITY.md): distinctness and per-index marginal uniformity
+    hold, only high-order subset statistics differ, which if anything
+    REDUCES estimator variance for the ray-batch loss. The exact
+    alternatives were measured on v5e in-scan (minus the scan floor):
+    approx_max_k 0.024 ms, exact top_k over random bits 0.23 ms,
+    jax.random.permutation[:n] 0.32 ms — exactness would cost ~5-7% of the
+    whole 4.3 ms train step. Reference: model/training.py:277.
     """
     vals = jax.random.uniform(key, (hw,))
     _, idx = jax.lax.approx_max_k(vals, n)
