@@ -54,8 +54,6 @@ lane multiple) fall back to ops/render.py's unfused path.
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import numpy as np
 
 import jax
@@ -66,10 +64,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..models.nerf import NerfConfig
 from .pallas_mlp import (
     DE_DIM,
-    PE_DIM,
     _bf16,
     _bwd_chain_core,
-    _dmat,
     _fwd_tail,
     _rep_spec,
     _unpack_grads,
@@ -126,14 +122,12 @@ PE_LEVELS = 10
 DE_LEVELS = 4
 
 
-def _lane_select(A: jax.Array, levels: int, mode: str,
-                 lane: Optional[jax.Array] = None) -> jax.Array:
+def _lane_select(A: jax.Array, levels: int, mode: str) -> jax.Array:
     """Apply the dense-lane encoding selector on arguments A ((1,dim)-row masks
-    broadcast over the tile). `lane` overrides the lane coordinate (used by
-    the packed variant, where each 128-lane row holds two 64-lane tiles)."""
-    if lane is None:
-        dim = A.shape[-1]
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, dim), 1)
+    broadcast over the tile). Only the 32-lane DIRECTION encoding still goes
+    through here — the position encoding is enc-major (sublane-masked) now."""
+    dim = A.shape[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, dim), 1)
     is_id = lane < 3
     is_sin = (lane >= 3) & (lane < 3 + 3 * levels)
     is_pad = lane >= 3 + 6 * levels
