@@ -263,116 +263,121 @@ def train(cfg: dict, synthetic: bool = False, max_epochs: Optional[int] = None):
 
     t0b = time.time()
     psnr = 0.0
-    while epoch_it < (scheduling_start + scheduling_epoch):
-        epoch_it += 1
-        if max_epochs is not None and epoch_it >= max_epochs:
-            # epoch_it now names an epoch that will NOT run — roll it back so
-            # the final checkpoint records the last COMPLETED epoch (otherwise
-            # a resumed run silently skips one epoch).
-            epoch_it -= 1
-            break
-        l2_epoch = []
-        trainer.update_occupancy(state, epoch_it)  # no-op unless enabled
-        if scan_steps:
-            order, refs = epoch_order(scene.n_frames,
-                                      shuffle=cfg["dataloading"]["shuffle"],
-                                      random_ref=cfg["dataloading"]["random_ref"],
-                                      seed=seed + epoch_it)
-            state, lds = trainer.run_steps(state, scene, order, refs, epoch_it,
-                                           scheduling_start)
-            # One scalar readback per epoch so the throughput meter measures
-            # device completion, not async dispatch (block_until_ready is not
-            # reliable on every transport).
-            last_loss = float(lds["loss"][-1])
-            timer.tick_many(len(order))
-            l2_epoch.append(lds["l2_mean"])
-            lds_np = None  # one bulk transfer, only if some hook needs it
-            for j, (fidx, ridx) in enumerate(zip(order, refs)):
-                it += 1
+    try:
+        while epoch_it < (scheduling_start + scheduling_epoch):
+            epoch_it += 1
+            if max_epochs is not None and epoch_it >= max_epochs:
+                # epoch_it now names an epoch that will NOT run — roll it back so
+                # the final checkpoint records the last COMPLETED epoch (otherwise
+                # a resumed run silently skips one epoch).
+                epoch_it -= 1
+                break
+            l2_epoch = []
+            trainer.update_occupancy(state, epoch_it)  # no-op unless enabled
+            if scan_steps:
+                order, refs = epoch_order(scene.n_frames,
+                                          shuffle=cfg["dataloading"]["shuffle"],
+                                          random_ref=cfg["dataloading"]["random_ref"],
+                                          seed=seed + epoch_it)
+                state, lds = trainer.run_steps(state, scene, order, refs, epoch_it,
+                                               scheduling_start)
+                # One scalar readback per epoch so the throughput meter measures
+                # device completion, not async dispatch (block_until_ready is not
+                # reliable on every transport).
+                last_loss = float(lds["loss"][-1])
+                timer.tick_many(len(order))
+                l2_epoch.append(lds["l2_mean"])
+                lds_np = None  # one bulk transfer, only if some hook needs it
+                for j, (fidx, ridx) in enumerate(zip(order, refs)):
+                    it += 1
 
-                def get_ld(j=j):
-                    nonlocal lds_np
-                    if lds_np is None:
-                        lds_np = {k: np.asarray(v) for k, v in lds.items()}
-                    return {k: float(v[j]) for k, v in lds_np.items()}
+                    def get_ld(j=j):
+                        nonlocal lds_np
+                        if lds_np is None:
+                            lds_np = {k: np.asarray(v) for k, v in lds.items()}
+                        return {k: float(v[j]) for k, v in lds_np.items()}
 
-                run_it_hooks(it, state, get_ld, int(fidx), int(ridx))
-        else:
-            for batch in frame_iterator(scene,
-                                        shuffle=cfg["dataloading"]["shuffle"],
-                                        random_ref=cfg["dataloading"]["random_ref"],
-                                        seed=seed + epoch_it):
-                it += 1
-                state, ld = trainer.step(state, batch, epoch_it, scheduling_start)
-                timer.tick()
-                # keep the scalar ON DEVICE: a float() here would synchronously
-                # round-trip the transport every step; the epoch mean reads back
-                # once below
-                l2_epoch.append(ld["l2_mean"])
-                run_it_hooks(it, state,
-                             lambda ld=ld: {k: float(v) for k, v in ld.items()},
-                             int(batch["idx"]), int(batch["ref_idx"]))
-            last_loss = float(ld["loss"])
+                    run_it_hooks(it, state, get_ld, int(fidx), int(ridx))
+            else:
+                for batch in frame_iterator(scene,
+                                            shuffle=cfg["dataloading"]["shuffle"],
+                                            random_ref=cfg["dataloading"]["random_ref"],
+                                            seed=seed + epoch_it):
+                    it += 1
+                    state, ld = trainer.step(state, batch, epoch_it, scheduling_start)
+                    timer.tick()
+                    # keep the scalar ON DEVICE: a float() here would synchronously
+                    # round-trip the transport every step; the epoch mean reads back
+                    # once below
+                    l2_epoch.append(ld["l2_mean"])
+                    run_it_hooks(it, state,
+                                 lambda ld=ld: {k: float(v) for k, v in ld.items()},
+                                 int(batch["idx"]), int(batch["ref_idx"]))
+                last_loss = float(ld["loss"])
 
-        if not np.isfinite(last_loss):
-            # Divergence guard: the reference breakpoint()s on a NaN loss
-            # (losses.py:213-214) — useless unattended. Abort loudly instead;
-            # the last periodic checkpoint predates the epoch that diverged.
-            raise FloatingPointError(
-                f"non-finite loss ({last_loss}) at epoch {epoch_it}, it {it}; "
-                f"training aborted. Last good checkpoint: "
-                f"{os.path.join(out_dir, t_cfg['load_dir'])}")
+            if not np.isfinite(last_loss):
+                # Divergence guard: the reference breakpoint()s on a NaN loss
+                # (losses.py:213-214) — useless unattended. Abort loudly instead;
+                # the last periodic checkpoint predates the epoch that diverged.
+                raise FloatingPointError(
+                    f"non-finite loss ({last_loss}) at epoch {epoch_it}, it {it}; "
+                    f"training aborted. Last good checkpoint: "
+                    f"{os.path.join(out_dir, t_cfg['load_dir'])}")
 
-        if eval_pose_every > 0 and epoch_it % eval_pose_every == 0 and mc.pose:
-            learned = np.asarray(pose_c2w_all(state.params["pose"], mc.pose))
-            metrics = full_pose_evaluation(learned, np.asarray(scene.c2ws_gt))
-            print(f"{epoch_it:6d} ep: ATE_t {metrics['ate_trans']:.4f} "
-                  f"ATE_r {metrics['ate_r_v2_deg']:.3f}deg "
-                  f"RPE_r {metrics['rpe_rot_deg']:.3f}deg")
-            if writer:
-                for k, v in metrics.items():
-                    writer.add_scalar(f"eval/{k}", v, it)
+            if eval_pose_every > 0 and epoch_it % eval_pose_every == 0 and mc.pose:
+                learned = np.asarray(pose_c2w_all(state.params["pose"], mc.pose))
+                metrics = full_pose_evaluation(learned, np.asarray(scene.c2ws_gt))
+                print(f"{epoch_it:6d} ep: ATE_t {metrics['ate_trans']:.4f} "
+                      f"ATE_r {metrics['ate_r_v2_deg']:.3f}deg "
+                      f"RPE_r {metrics['rpe_rot_deg']:.3f}deg")
+                if writer:
+                    for k, v in metrics.items():
+                        writer.add_scalar(f"eval/{k}", v, it)
 
-        if eval_img_every > 0 and epoch_it % eval_img_every == 0:
-            psnr = float(mse2psnr(float(jnp.mean(jnp.stack(l2_epoch)))))
-            print(f"{epoch_it:6d} ep: Train PSNR {psnr:.3f}")
-            if writer:
-                writer.add_scalar("train/psnr", psnr, it)
-            if psnr > psnr_best:
-                # best-PSNR checkpoint (the reference's unused helper,
-                # model/checkpoints.py:43-53 — implemented here for real).
-                # Hold the best state as a DEVICE reference (free: states are
-                # immutable pytrees) and write it to disk at most every
-                # BEST_CKPT_WRITE_EVERY epochs: the write device_gets ~90
-                # small arrays, which costs seconds per epoch over a remote
-                # device transport while PSNR improves every epoch.
-                psnr_best = psnr
-                best_held = (state, ckpt_scalars(epoch_it, scheduling_start))
-            if best_held is not None and (
-                    epoch_it - best_written_at >= BEST_CKPT_WRITE_EVERY):
-                save_checkpoint(out_dir, "model_best.ckpt", *best_held)
-                best_held, best_written_at = None, epoch_it
+            if eval_img_every > 0 and epoch_it % eval_img_every == 0:
+                psnr = float(mse2psnr(float(jnp.mean(jnp.stack(l2_epoch)))))
+                print(f"{epoch_it:6d} ep: Train PSNR {psnr:.3f}")
+                if writer:
+                    writer.add_scalar("train/psnr", psnr, it)
+                if psnr > psnr_best:
+                    # best-PSNR checkpoint (the reference's unused helper,
+                    # model/checkpoints.py:43-53 — implemented here for real).
+                    # Hold the best state as a DEVICE reference (free: states are
+                    # immutable pytrees) and write it to disk at most every
+                    # BEST_CKPT_WRITE_EVERY epochs: the write device_gets ~90
+                    # small arrays, which costs seconds per epoch over a remote
+                    # device transport while PSNR improves every epoch.
+                    psnr_best = psnr
+                    best_held = (state, ckpt_scalars(epoch_it, scheduling_start))
+                if best_held is not None and (
+                        epoch_it - best_written_at >= BEST_CKPT_WRITE_EVERY):
+                    save_checkpoint(out_dir, "model_best.ckpt", *best_held)
+                    best_held, best_written_at = None, epoch_it
 
-        if t_cfg["auto_scheduler"]:
-            scheduling_start = auto.update(psnr, epoch_it, scheduling_start)
+            if t_cfg["auto_scheduler"]:
+                scheduling_start = auto.update(psnr, epoch_it, scheduling_start)
 
-        if (t_cfg["scheduling_mode"] == "reset"
-                and epoch_it == scheduling_start):
-            # re-initialize every Linear at decay start (reference train.py:347-350)
-            from ..models.nerf import reset_linear_params
-            params = dict(state.params)
-            params["nerf"] = reset_linear_params(
-                jax.random.fold_in(jax.random.key(seed), epoch_it),
-                state.params["nerf"], mc.nerf)
-            state = type(state)(params=params, opt_state=state.opt_state,
-                                it=state.it, rng=state.rng)
-            # the EMA grid describes the OLD field; start it fresh so the
-            # sampler doesn't chase obsolete geometry for ~1/(1-decay) epochs
-            trainer.reset_occupancy()
-            print(f"scheduling_mode=reset: re-initialized NeRF at epoch {epoch_it}")
+            if (t_cfg["scheduling_mode"] == "reset"
+                    and epoch_it == scheduling_start):
+                # re-initialize every Linear at decay start (reference train.py:347-350)
+                from ..models.nerf import reset_linear_params
+                params = dict(state.params)
+                params["nerf"] = reset_linear_params(
+                    jax.random.fold_in(jax.random.key(seed), epoch_it),
+                    state.params["nerf"], mc.nerf)
+                state = type(state)(params=params, opt_state=state.opt_state,
+                                    it=state.it, rng=state.rng)
+                # the EMA grid describes the OLD field; start it fresh so the
+                # sampler doesn't chase obsolete geometry for ~1/(1-decay) epochs
+                trainer.reset_occupancy()
+                print(f"scheduling_mode=reset: re-initialized NeRF at epoch {epoch_it}")
+    finally:
+        # flush the held best-PSNR state on ANY exit — divergence abort,
+        # KeyboardInterrupt, crash — not just normal completion (the held
+        # device reference is exactly the state model_best.ckpt exists for)
+        if best_held is not None:
+            save_checkpoint(out_dir, "model_best.ckpt", *best_held)
 
-    if best_held is not None:  # flush the held best-PSNR state
-        save_checkpoint(out_dir, "model_best.ckpt", *best_held)
     save_checkpoint(out_dir, t_cfg["load_dir"], state,
                     ckpt_scalars(epoch_it, scheduling_start))
     return state, trainer, scene

@@ -32,10 +32,14 @@ import numpy as np
 def _pixel_grid_np(resolution: Tuple[int, int],
                    image_range: Tuple[float, float],
                    dtype_name: str) -> Tuple[np.ndarray, np.ndarray]:
-    """Host-side pixel grid (cached): identical IEEE elementwise ops to the
-    previous traced version, so the values are bitwise-unchanged — but under
-    jit the grid becomes a CONSTANT, hoisted out of the scan-fused step
-    (the per-step meshgrid+stack cost 0.05 ms on v5e; docs/PERF.md round 4)."""
+    """Host-side pixel grid (cached): same op sequence as the previously
+    traced version, computed by numpy — under jit the grid becomes a
+    CONSTANT, hoisted out of the scan-fused step (the per-step
+    meshgrid+stack cost 0.05 ms on v5e; docs/PERF.md round 4). NOTE: numpy's
+    correctly-rounded division can differ from XLA's lowering of the same
+    expression by 1 ulp on a minority of coordinates (~16% of lanes measured
+    at w=621) — callers relying on bit-identity with an XLA recompute of the
+    same formula get 1-ulp agreement, not bitwise."""
     h, w = resolution
     dtype = np.dtype(dtype_name)
     ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")

@@ -140,9 +140,15 @@ def _nearest_idx_bidirectional(x: jax.Array, y: jax.Array,
     # jnp.argmin (equal distance -> lowest index), except that an exact -0.0
     # distance orders strictly below +0.0 — only exactly-coincident pairs,
     # whose recomputed distance (and safe_norm gradient) is 0 either way.
-    assert tile <= 1 << IDX_BITS_COL and s <= 1 << IDX_BITS_ROW
+    # The index bit budget covers tile <= 512 and clouds <= 32768 rows;
+    # wider configurations (chamfer_tile up to 2048 is documented, pc_ratio
+    # <= 2 at full V-KITTI exceeds 32768 rows) take the plain three-reduce
+    # path below — identical indices, just the extra reduce passes.
+    packed_ok = tile <= 1 << IDX_BITS_COL and s <= 1 << IDX_BITS_ROW
     best_row = jnp.full((s,), jnp.uint32(0xFFFFFFFF))
     best_base = jnp.zeros((s,), jnp.int32)
+    best_sq = jnp.full((s,), jnp.inf, jnp.bfloat16)
+    best_idx = jnp.zeros((s,), jnp.int32)
     col_idx = []
     for k in range(n_tiles):
         # preferred_element_type=bf16: the MXU still accumulates f32 and rounds
@@ -151,21 +157,32 @@ def _nearest_idx_bidirectional(x: jax.Array, y: jax.Array,
         # sweep is HBM-bound; scripts/profile_glue2.py)
         d2 = jnp.matmul(x_aug, _aug_dst(tiles[k]).T,
                         preferred_element_type=jnp.bfloat16)
-        d2o = _float_order_u32(d2)
-        # row direction (x -> y): packed min within the tile, then a running
-        # compare on the distance bits alone (strict <, so the earlier tile
-        # keeps equal-distance winners — same as the old `tile_min < best_sq`)
-        lane = jax.lax.broadcasted_iota(jnp.uint32, d2.shape, 1)
-        tile_best = jnp.min((d2o << IDX_BITS_COL) | lane, axis=1)
-        take = (tile_best >> IDX_BITS_COL) < (best_row >> IDX_BITS_COL)
-        best_row = jnp.where(take, tile_best, best_row)
-        best_base = jnp.where(take, k * tile, best_base)
-        # col direction (y -> x): final within the tile (each tile sees every x)
-        row = jax.lax.broadcasted_iota(jnp.uint32, d2.shape, 0)
-        cmin = jnp.min((d2o << IDX_BITS_ROW) | row, axis=0)
-        col_idx.append((cmin & ((1 << IDX_BITS_ROW) - 1)).astype(jnp.int32))
-    best_idx = (best_row & ((1 << IDX_BITS_COL) - 1)).astype(jnp.int32) \
-        + best_base
+        if packed_ok:
+            d2o = _float_order_u32(d2)
+            # row direction (x -> y): packed min within the tile, then a
+            # running compare on the distance bits alone (strict <, so the
+            # earlier tile keeps equal-distance winners — same as the
+            # unpacked `tile_min < best_sq`)
+            lane = jax.lax.broadcasted_iota(jnp.uint32, d2.shape, 1)
+            tile_best = jnp.min((d2o << IDX_BITS_COL) | lane, axis=1)
+            take = (tile_best >> IDX_BITS_COL) < (best_row >> IDX_BITS_COL)
+            best_row = jnp.where(take, tile_best, best_row)
+            best_base = jnp.where(take, k * tile, best_base)
+            # col direction (y -> x): final within the tile
+            row = jax.lax.broadcasted_iota(jnp.uint32, d2.shape, 0)
+            cmin = jnp.min((d2o << IDX_BITS_ROW) | row, axis=0)
+            col_idx.append((cmin & ((1 << IDX_BITS_ROW) - 1))
+                           .astype(jnp.int32))
+        else:
+            tile_min = jnp.min(d2, axis=1)
+            tile_arg = jnp.argmin(d2, axis=1) + k * tile
+            take = tile_min < best_sq
+            best_sq = jnp.where(take, tile_min, best_sq)
+            best_idx = jnp.where(take, tile_arg, best_idx)
+            col_idx.append(jnp.argmin(d2, axis=0).astype(jnp.int32))
+    if packed_ok:
+        best_idx = ((best_row & ((1 << IDX_BITS_COL) - 1)).astype(jnp.int32)
+                    + best_base)
     idx_yx = jnp.concatenate(col_idx)[:d_real]
     return best_idx, idx_yx
 

@@ -263,7 +263,7 @@ def _de_row_masks():
     return tuple(scale * (c_of == c) for c in range(3))
 
 
-def _encmajor_fwd(ov, z_rs, S, wcat72, b0, keep_ctx=False,
+def _encmajor_fwd(ov, z_rs, wcat72, b0, keep_ctx=False,
                   arg_rows: int = ARG_ROWS):
     """Shared enc-major encode + first/skip-layer matmuls for one 8-ray chain.
 
@@ -351,7 +351,7 @@ def _render_fwd_kernel(cfg: NerfConfig, dist_alpha: bool, want_aux: bool,
     for h in range(NCHAIN_FWD):
         z_rs = z_all[h * R:(h + 1) * R, :]
         ov = ov_ref[:, h * R * ARG_ROWS:(h + 1) * R * ARG_ROWS]
-        x0, pe4, _ = _encmajor_fwd(ov, z_rs, S, wcat72, B[0])
+        x0, pe4, _ = _encmajor_fwd(ov, z_rs, wcat72, B[0])
         de = _de_broadcast(de_ref[h * R:(h + 1) * R, :], R, S)
         rgb_raw, sig_raw, _ = _fwd_tail(x0, pe4, de, W, B)
 
@@ -530,7 +530,7 @@ def _render_bwd_kernel(cfg: NerfConfig, dist_alpha: bool, nchain: int,
         ov = ov_ref[:, h * R * ARG_ROWS_BWD:(h + 1) * R * ARG_ROWS_BWD]
 
         # ---- forward recompute (enc-major; ctx kept for the deriv) ----------
-        x0, pe4, enc_ctx = _encmajor_fwd(ov, z_rs, S, wcat72, B[0],
+        x0, pe4, enc_ctx = _encmajor_fwd(ov, z_rs, wcat72, B[0],
                                          keep_ctx=True,
                                          arg_rows=ARG_ROWS_BWD)
         de = _de_broadcast(de_all[sl], R, S)
@@ -609,7 +609,7 @@ def _render_train_kernel(cfg: NerfConfig, dist_alpha: bool, rgb_p: int,
         ov = ov_ref[:, h * R * ARG_ROWS_BWD:(h + 1) * R * ARG_ROWS_BWD]
 
         # ---- forward recompute (enc-major; ctx kept for the deriv) ----------
-        x0, pe4, enc_ctx = _encmajor_fwd(ov, z_rs, S, wcat72, B[0],
+        x0, pe4, enc_ctx = _encmajor_fwd(ov, z_rs, wcat72, B[0],
                                          keep_ctx=True,
                                          arg_rows=ARG_ROWS_BWD)
         de = _de_broadcast(de_all[sl], R, S)

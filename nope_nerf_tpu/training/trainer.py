@@ -258,8 +258,10 @@ def compute_step_loss(params: Dict[str, Any], batch: Dict[str, jax.Array],
     # 2-D gathers (row, col) instead of reshape(-1)[ray_idx]: the flatten of
     # the (H,W,3) image materialized a full copy every step (~0.05 ms on v5e)
     # just to feed a 1024-row gather. Values are identical (row-major index
-    # split), and the [-1,1] pixel coordinates are recomputed elementwise with
-    # the same IEEE op order as pixel_grid — bitwise-equal to gathering them.
+    # split); the [-1,1] pixel coordinates are recomputed elementwise with
+    # the same op sequence as pixel_grid — XLA's division rounds a minority
+    # of lanes 1 ulp differently from pixel_grid's numpy constant, so the
+    # agreement with the eval/pose-opt pixel grid is 1-ulp, not bitwise.
     iy = ray_idx // w
     ix = ray_idx % w
     rgb_gt = img[iy, ix]
@@ -636,8 +638,10 @@ class Trainer:
         step paid ~0.15 ms re-deriving these frame constants every step."""
         if self.mc.pose is None:
             return None, None
-        key = id(scene.imgs)
-        if self._warp_cache is None or self._warp_cache[0] != key:
+        # key on the ARRAY OBJECT (strong reference kept in the cache tuple):
+        # an id()-only key could alias a recycled address after the first
+        # scene's imgs is garbage-collected
+        if self._warp_cache is None or self._warp_cache[0] is not scene.imgs:
             import jax
 
             @jax.jit
@@ -652,7 +656,8 @@ class Trainer:
                                       align_corners=True) for sm in small])
                 return small, rgb_pc
 
-            self._warp_cache = (key,) + tuple(build(jnp.asarray(scene.imgs)))
+            self._warp_cache = (scene.imgs,) + tuple(
+                build(jnp.asarray(scene.imgs)))
         return self._warp_cache[1], self._warp_cache[2]
 
     def set_occupancy_grid(self, grid) -> None:

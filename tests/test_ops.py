@@ -119,3 +119,18 @@ def test_ssim_loss_map_properties():
     other = _rand_img(16, 20, 3, seed=10)
     m2 = np.asarray(ssim_loss_map(jnp.asarray(img), jnp.asarray(other)))
     assert np.all(m2 >= 0) and np.all(m2 <= 1) and m2.mean() > 0.01
+
+
+def test_chamfer_wide_tile_fallback_matches_packed():
+    """chamfer_tile up to 2048 is a documented knob (training/state.py): tiles
+    wider than the packed path's 9-bit index budget must take the plain
+    three-reduce path and return identical indices/loss."""
+    from nope_nerf_tpu.ops.chamfer import _nearest_idx_bidirectional
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(700, 3).astype(np.float32))
+    y = jnp.asarray(rng.randn(650, 3).astype(np.float32))
+    ixy_p, iyx_p = _nearest_idx_bidirectional(x, y, 256)     # packed
+    ixy_w, iyx_w = _nearest_idx_bidirectional(x, y, 1024)    # fallback
+    np.testing.assert_array_equal(np.asarray(ixy_p), np.asarray(ixy_w))
+    np.testing.assert_array_equal(np.asarray(iyx_p), np.asarray(iyx_w))
