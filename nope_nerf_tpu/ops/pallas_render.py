@@ -74,7 +74,7 @@ from .pallas_mlp import (
 
 EPSILON = 1e-6          # compositing epsilon, reference model/rendering.py:9
 RAY_DIM = 128           # packed ray-table lane width
-RAYS_FWD = 8            # rays per forward tile  (8 x 128 samples = 1024 points)
+RAYS_FWD = 2            # rays per forward CHAIN (see NCHAIN_FWD below)
 RAYS_BWD = 8            # rays per backward tile (block sublane dims must be x8)
 
 # Target-table lane layout for the train-fused kernel (lanes 0-2: rgb_gt).
@@ -188,7 +188,12 @@ def _composite_forward(alpha, z_rs, ltS):
     return trans, weights, dist
 
 
-NCHAIN_FWD = 4   # independent ray chains per forward tile (VPU/MXU overlap)
+# Independent ray chains per forward tile (VPU/MXU overlap: Mosaic schedules
+# one chain's VPU encode/compositing against another's MXU matmuls). Chain
+# shape swept on v5e at the full-frame workload (same 32-ray tile, bitwise
+# identical outputs): 4x8 153-158 ms, 8x4 151 ms, 16x2 150 ms — finer chains
+# interleave better, so 16 chains of 2 rays.
+NCHAIN_FWD = 16
 # Enc-major arg rows per ray: [id 3 + pad 5 | trig args 30 + 2]. The forward
 # kernel uses the tight 40 (its 32-ray tile block (2, 1280) stays lane-%128);
 # the backward/train kernels pad to 48 so ONE 8-ray chain's (2, 384) block
@@ -264,15 +269,14 @@ def _de_row_masks():
 
 
 def _encmajor_fwd(ov, z_rs, wcat72, b0, keep_ctx=False,
-                  arg_rows: int = ARG_ROWS):
+                  arg_rows: int = ARG_ROWS, R: int = RAYS_FWD):
     """Shared enc-major encode + first/skip-layer matmuls for one 8-ray chain.
 
-    ov (2, 8*ARG_ROWS) arg-row table block, z_rs (8,S). Returns (x0 (T,D),
+    ov (2, R*arg_rows) arg-row table block, z_rs (R,S). Returns (x0 (T,D),
     pe4 f32 (T,D), ctx); ctx (when keep_ctx, for the backward kernels) is
     (enc_list [8 x (72,S) bf16], sin_list, cos_list [8 x (32,S) f32],
     vT (8*ARG_ROWS, 1)) — the backward reuses the SAME sin/cos for the
     encoding derivative, so the deriv pass does no trig at all."""
-    R = RAYS_FWD
     D = b0.shape[1]
     oT = ov[0:1, :].reshape(R * arg_rows, 1)
     vT = ov[1:2, :].reshape(R * arg_rows, 1)
@@ -532,7 +536,8 @@ def _render_bwd_kernel(cfg: NerfConfig, dist_alpha: bool, nchain: int,
         # ---- forward recompute (enc-major; ctx kept for the deriv) ----------
         x0, pe4, enc_ctx = _encmajor_fwd(ov, z_rs, wcat72, B[0],
                                          keep_ctx=True,
-                                         arg_rows=ARG_ROWS_BWD)
+                                         arg_rows=ARG_ROWS_BWD,
+                                         R=RAYS_BWD)
         de = _de_broadcast(de_all[sl], R, S)
         rgb_raw, sig_raw, acts = _fwd_tail(x0, pe4, de, W, B)
         alpha, occ, raw_rs, deltas = _alpha_forward(sig_raw, z_rs, R, S, cfg,
@@ -611,7 +616,8 @@ def _render_train_kernel(cfg: NerfConfig, dist_alpha: bool, rgb_p: int,
         # ---- forward recompute (enc-major; ctx kept for the deriv) ----------
         x0, pe4, enc_ctx = _encmajor_fwd(ov, z_rs, wcat72, B[0],
                                          keep_ctx=True,
-                                         arg_rows=ARG_ROWS_BWD)
+                                         arg_rows=ARG_ROWS_BWD,
+                                         R=RAYS_BWD)
         de = _de_broadcast(de_all[sl], R, S)
         rgb_raw, sig_raw, acts = _fwd_tail(x0, pe4, de, W, B)
         alpha, occ, raw_rs, deltas = _alpha_forward(sig_raw, z_rs, R, S, cfg,
