@@ -178,11 +178,53 @@ def _alpha_forward(sig_raw, z_rs, R: int, S: int, cfg: NerfConfig,
     return occ, occ, raw_rs, None
 
 
+def _lane_prefix_exclusive(x):
+    """Exclusive prefix sum over the LANE axis of (R, S) f32, S a power of 2:
+    out[s] = sum_{j<s} x[j]. Hillis-Steele via pltpu.roll — log2(S) f32
+    shift-adds, error ~log2(S) ulps (vs the 2^-8-relative truncation of a
+    Mosaic matmul, see _composite_forward)."""
+    S = x.shape[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    acc = jnp.where(lane >= 1, pltpu.roll(x, 1, 1), 0.0)   # x[s-1], 0 at s=0
+    d = 1
+    while d < S:
+        acc = acc + jnp.where(lane >= d, pltpu.roll(acc, d, 1), 0.0)
+        d *= 2
+    return acc
+
+
+def _lane_suffix_exclusive(x):
+    """Exclusive suffix sum over lanes: out[s] = sum_{j>s} x[j]."""
+    S = x.shape[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    acc = jnp.where(lane <= S - 2, pltpu.roll(x, S - 1, 1), 0.0)  # x[s+1]
+    d = 1
+    while d < S:
+        acc = acc + jnp.where(lane <= S - 1 - d, pltpu.roll(acc, S - d, 1),
+                              0.0)
+        d *= 2
+    return acc
+
+
 def _composite_forward(alpha, z_rs, ltS):
     """alpha (R,S) -> (trans, weights, dist): the reference compositing
-    (rendering.py:124-126), cumprod as exp(MXU prefix-sum of logs)."""
+    (rendering.py:124-126), exclusive cumprod as exp(prefix-sum of logs).
+
+    Round-5 correction: the prefix sum is a VPU Hillis-Steele scan
+    (_lane_prefix_exclusive), NOT the round-1..4 f32 matmul against the
+    strict-lower-triangular mask. scripts/check_kernel_parity.py caught the
+    matmul path at 1.6e-3 rgb error vs a true-f32 anchor on hardware, and a
+    direct Mosaic probe showed why: Mosaic lowers an f32 jax.lax.dot to ONE
+    bf16 MXU pass (inputs truncated: 1 + 2^-10 @ I returns exactly 1.0), so
+    the "f32" prefix matmul was quantizing logs to 8 significand bits. The
+    scan is full f32 (measured: fused-vs-truth drops 8.8e-4 -> bf16-noise
+    class) and the same speed. Round-4's "Hillis-Steele: equal time,
+    1.3e-3 weight deviation — parity fail" verdict had it backwards: the
+    1.3e-3 deviation WAS the matmul baseline's own truncation error.
+    ltS is kept as a kernel input for shape/spec stability but unused."""
+    del ltS
     logs = jnp.log(1.0 - alpha + EPSILON)
-    trans = jnp.exp(_fdot(logs, ltS))
+    trans = jnp.exp(_lane_prefix_exclusive(logs))
     weights = alpha * trans
     dist = jnp.sum(weights * z_rs, axis=1, keepdims=True)
     return trans, weights, dist
@@ -274,9 +316,17 @@ def _encmajor_fwd(ov, z_rs, wcat72, b0, keep_ctx=False,
 
     ov (2, R*arg_rows) arg-row table block, z_rs (R,S). Returns (x0 (T,D),
     pe4 f32 (T,D), ctx); ctx (when keep_ctx, for the backward kernels) is
-    (enc_list [8 x (72,S) bf16], sin_list, cos_list [8 x (32,S) f32],
-    vT (8*ARG_ROWS, 1)) — the backward reuses the SAME sin/cos for the
-    encoding derivative, so the deriv pass does no trig at all."""
+    (enc_list [R x (72,S) bf16], sin_list, cos_list [R x (32,S) f32],
+    vT (R*arg_rows, 1)) — the backward reuses the SAME sin/cos for the
+    encoding derivative, so the deriv pass does no trig at all.
+
+    Measured dead end (round 5): lane-concatenating the per-ray blocks into
+    (32, R*S) trig + ONE (72, R*S)@(72, 2D) transpose_lhs dot (and likewise
+    batching the backward's dWcat/dpeT dots) is SLOWER in the forward kernel
+    (132 vs 128 ms/frame same-process v5e A/B — at R=2 per chain the concats
+    cost more than the saved op dispatch) and exactly neutral in the
+    MXU-dominated train kernel (3.575 vs 3.580 ms/step) — the per-ray loop
+    stays."""
     D = b0.shape[1]
     oT = ov[0:1, :].reshape(R * arg_rows, 1)
     vT = ov[1:2, :].reshape(R * arg_rows, 1)
@@ -402,9 +452,12 @@ def _backward_tail(cfg: NerfConfig, dist_alpha: bool, R: int, S: int,
     if g_w_in is not None:
         g_w = g_w + g_w_in
 
-    # w = a * exp(c), c = logs @ ltS, logs = log(1 - a + eps)
+    # w = a * exp(c), c = exclusive-prefix(logs), logs = log(1 - a + eps)
     g_c = g_w * weights                              # g_trans * trans
-    g_logs = _fdot(g_c, ltT)                         # suffix sums
+    # f32 VPU suffix scan — the former _fdot(g_c, ltT) matmul truncated g_c
+    # to bf16 (Mosaic f32 dot = one bf16 MXU pass; see _composite_forward)
+    g_logs = _lane_suffix_exclusive(g_c)             # suffix sums
+    del ltT
     g_alpha = g_w * trans - g_logs / (1.0 - alpha + EPSILON)
     if g_a_in is not None:
         g_alpha = g_alpha + g_a_in

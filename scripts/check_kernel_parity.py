@@ -6,12 +6,15 @@ interpret mode on CPU; Mosaic-on-hardware can diverge from interpret mode after
 a data-layout rewrite. This script repeats the comparisons ON THE LIVE TPU at
 bench-scale workloads and fails loudly above tolerance:
 
-  1. eval values: full-frame (188x621 = 116752 rays x 128 samples) fused
-     render (one dispatch) vs a TRUE f32 anchor (the unfused XLA path under
-     default_matmul_precision('highest'), chunked) — rgb / depth within
-     max(1e-3, 3x the production unfused-bf16 path's own noise); see
-     eval_value_parity's docstring for why 1e-3 is the legitimate hardware
-     floor (trig-argument association, not a defect).
+  1. eval values: full-frame (188x621 rounded to 116744 rays x 128 samples)
+     fused render (one dispatch) vs a TRUE f32 anchor (the unfused XLA path
+     under default_matmul_precision('highest'), chunked) — rgb / depth within
+     max(1e-3, 3x the production unfused-bf16 path's own noise). This check
+     CAUGHT a real defect in round 5: the kernel's f32 composite matmul was
+     silently truncating logs to bf16 (Mosaic lowers f32 dots to one bf16
+     MXU pass), 1.6e-3 rgb error — fixed by the VPU prefix scan in
+     _composite_forward; the fused path now sits at the shared bf16-matmul
+     noise (measured 3.9e-4 = exactly the unfused path's own noise).
   2. eval grads (the test-time pose-opt path): d(params)/d(pixels) of a
      mixed output loss at 1024 rays — 5e-3 relative (shared bf16 matmul noise
      dominates; the CPU interpret-mode test uses the same bound).
@@ -64,15 +67,20 @@ def eval_value_parity(params, cam, world, small: bool):
     matmuls are ONE bf16 pass, so without the context there is no f32 truth
     on hardware), the production unfused bf16 path, and the fused kernel.
 
-    Tolerance = max(1e-3, 3x the unfused path's own bf16 noise). The 1e-3
-    floor is the fused kernel's legitimate deviation budget on hardware,
-    dominated by f32 rounding of the large trig arguments: the enc-major
-    kernel associates them as (2^i*o) + (2^i*v)*z while the unfused path
-    computes 2^i*(o + v*z) — an ulp(2^9 * x)-scale difference fed through
-    sin/cos (measured ~4e-4 on v5e), NOT a layout bug and NOT present in
-    interpret mode. A genuine kernel defect (wrong lane, dropped term)
-    shows up orders of magnitude above this."""
-    n = 16 if small else H * W
+    Tolerance = max(1e-3, 3x the unfused path's own bf16 noise) — in
+    practice 3x noise (~1.2e-3) is the binding bound; the fused path
+    measures AT the noise (3.9e-4 rgb). Note the round-4 "trig-argument
+    association" story for a 1e-3 floor was wrong: scaling by 2^i is exact
+    in floating point, so (2^i*o) + (2^i*v)*z and 2^i*(o + v*z) are
+    bit-identical — there is no association budget, and the 1.6e-3 this
+    check originally measured was a genuine kernel defect (bf16-truncating
+    Mosaic f32 dot in the composite, fixed round 5). A layout bug (wrong
+    lane, dropped term) shows up orders of magnitude above the noise."""
+    # H*W rounded DOWN to a ray-tile multiple: render_nope_nerf only takes the
+    # fused ray-kernel path when n_rays % 8 == 0 (ops/render.py use_fused);
+    # 116748 rays would silently fall back to the POINT kernel, which at
+    # full-frame scale materializes (N*S, 64) encodings and OOMs 15.75G HBM.
+    n = 16 if small else (H * W) // 8 * 8
     chunk = 16 if small else 16384  # unfused XLA path: bounded HBM footprint
     print(f"[1] eval values, {n} rays x {S} samples (fused one-dispatch vs "
           f"unfused chunked, true-f32 anchor):", flush=True)
