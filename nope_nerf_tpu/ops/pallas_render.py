@@ -30,9 +30,12 @@ t = r*S + s):
   row reductions with z lane-major throughout;
 - the shared 9-layer MLP chain (pallas_mlp._fwd_chain / _fwd_tail);
 - heads (softplus/relu occupancy, sigmoid rgb) and alpha compositing run in
-  (R,S) layout: the exclusive cumulative product of (1 - a + eps) is computed on
-  the MXU as exp(logs @ strict-lower-triangular (S,S) mask) — within ~1e-6 of
-  jnp.cumprod (float reassociation only);
+  (R,S) layout: the exclusive cumulative product of (1 - a + eps) is computed
+  as exp(f32 Hillis-Steele lane prefix-scan of logs) — within ~1e-6 of
+  jnp.cumprod. (Rounds 1-4 used an MXU matmul against a strict-lower-
+  triangular mask here; round 5's hardware parity check caught that Mosaic
+  lowers f32 dots to ONE bf16 pass, truncating logs to 8 significand bits —
+  1.6e-3 rgb error. The scan is exact f32 and the same speed.);
 - backward is a full in-kernel recompute (flash-style), chaining composite ->
   heads -> MLP -> encoding, accumulating dW/dB across the sequential grid and
   emitting per-ray cotangents d[o|v|dir] (N,128) and dz (N,S);
@@ -105,15 +108,6 @@ def _enc_rows(levels: int, dim: int):
     return scale, cms[0], cms[1], cms[2]
 
 
-@functools.lru_cache(maxsize=8)
-def _tri_masks_np(S: int):
-    """ltS (S,S): x @ ltS = exclusive prefix sum; ltT = its transpose
-    (exclusive suffix sum). Kernel inputs (grid-invariant, VMEM-resident)."""
-    j = np.arange(S)
-    ltS = (j[:, None] < j[None, :]).astype(np.float32)
-    return ltS, ltS.T.copy()
-
-
 # Frequency-encoding level counts (reference model/network/nope_nerf encodings:
 # 10 position octaves -> 63 dims, 4 direction octaves -> 27 dims). Every lane
 # select below derives its block boundaries from these, so changing a count
@@ -137,10 +131,6 @@ def _lane_select(A: jax.Array, levels: int, mode: str) -> jax.Array:
     # derivative of the encoding wrt A
     out = jnp.where(is_id, 1.0, jnp.where(is_sin, jnp.cos(A), -jnp.sin(A)))
     return jnp.where(is_pad, 0.0, out)
-
-
-def _fdot(a, b):
-    return jax.lax.dot(a, b, preferred_element_type=jnp.float32)
 
 
 def _ray_rows(rays, col0: int, rows):
@@ -206,7 +196,7 @@ def _lane_suffix_exclusive(x):
     return acc
 
 
-def _composite_forward(alpha, z_rs, ltS):
+def _composite_forward(alpha, z_rs):
     """alpha (R,S) -> (trans, weights, dist): the reference compositing
     (rendering.py:124-126), exclusive cumprod as exp(prefix-sum of logs).
 
@@ -220,9 +210,7 @@ def _composite_forward(alpha, z_rs, ltS):
     scan is full f32 (measured: fused-vs-truth drops 8.8e-4 -> bf16-noise
     class) and the same speed. Round-4's "Hillis-Steele: equal time,
     1.3e-3 weight deviation — parity fail" verdict had it backwards: the
-    1.3e-3 deviation WAS the matmul baseline's own truncation error.
-    ltS is kept as a kernel input for shape/spec stability but unused."""
-    del ltS
+    1.3e-3 deviation WAS the matmul baseline's own truncation error."""
     logs = jnp.log(1.0 - alpha + EPSILON)
     trans = jnp.exp(_lane_prefix_exclusive(logs))
     weights = alpha * trans
@@ -378,7 +366,7 @@ def _de_broadcast(x_r, R: int, S: int):
 
 
 def _render_fwd_kernel(cfg: NerfConfig, dist_alpha: bool, want_aux: bool,
-                       S: int, ov_ref, z_ref, de_ref, ltS_ref, *refs):
+                       S: int, ov_ref, z_ref, de_ref, *refs):
     """Forward render tile: NCHAIN_FWD independent 8-ray chains, enc-major.
 
     Each chain builds its frequency-encoding arguments ENC-MAJOR — a
@@ -393,7 +381,6 @@ def _render_fwd_kernel(cfg: NerfConfig, dist_alpha: bool, want_aux: bool,
     with another's MXU matmuls (189 -> 152 ms full 188x621 frame on v5e;
     docs/PERF.md round 4)."""
     R = RAYS_FWD
-    ltS = ltS_ref[:]
     W = tuple(w[:] for w in refs[:14])
     B = tuple(b[:] for b in refs[14:26])
     wcat72 = refs[26][:]
@@ -410,7 +397,7 @@ def _render_fwd_kernel(cfg: NerfConfig, dist_alpha: bool, want_aux: bool,
         rgb_raw, sig_raw, _ = _fwd_tail(x0, pe4, de, W, B)
 
         alpha, _, _, _ = _alpha_forward(sig_raw, z_rs, R, S, cfg, dist_alpha)
-        _, weights, dist = _composite_forward(alpha, z_rs, ltS)
+        _, weights, dist = _composite_forward(alpha, z_rs)
         rgb3 = jax.nn.sigmoid(rgb_raw).reshape(R, S, RAY_DIM)  # cols 0-2 live
         ray_acc = jnp.sum(weights[:, :, None] * rgb3, axis=1)  # (R,128)
         outs.append(jnp.where(lane < 3, ray_acc,
@@ -426,7 +413,7 @@ def _render_fwd_kernel(cfg: NerfConfig, dist_alpha: bool, want_aux: bool,
 
 
 def _backward_tail(cfg: NerfConfig, dist_alpha: bool, R: int, S: int,
-                   ltT, enc_ctx, dF, de, acts, z_rs,
+                   enc_ctx, dF, de, acts, z_rs,
                    rgb3, w3, alpha, occ, raw_rs, deltas, trans, weights,
                    g_rgb_ray, g_dist, g_w_in, g_a_in, white_bg, W, wcat72,
                    dW14, dB_refs, dWcat_ref):
@@ -454,10 +441,9 @@ def _backward_tail(cfg: NerfConfig, dist_alpha: bool, R: int, S: int,
 
     # w = a * exp(c), c = exclusive-prefix(logs), logs = log(1 - a + eps)
     g_c = g_w * weights                              # g_trans * trans
-    # f32 VPU suffix scan — the former _fdot(g_c, ltT) matmul truncated g_c
-    # to bf16 (Mosaic f32 dot = one bf16 MXU pass; see _composite_forward)
+    # f32 VPU suffix scan — the former matmul against the transposed mask
+    # truncated g_c to bf16 (Mosaic f32 dot = one bf16 pass; _composite_forward)
     g_logs = _lane_suffix_exclusive(g_c)             # suffix sums
-    del ltT
     g_alpha = g_w * trans - g_logs / (1.0 - alpha + EPSILON)
     if g_a_in is not None:
         g_alpha = g_alpha + g_a_in
@@ -553,15 +539,14 @@ def _render_bwd_kernel(cfg: NerfConfig, dist_alpha: bool, nchain: int,
     across chains AND grid steps; the w0/w4pe grads accumulate enc-major in
     dWcat (72, 2D) and are row-unpacked in XLA (_unw72)."""
     R = RAYS_BWD
-    ltS, ltT = refs[0][:], refs[1][:]
-    W = tuple(w[:] for w in refs[2:16])
-    B = tuple(b[:] for b in refs[16:28])
-    wcat72 = refs[28][:]
-    g_perray_ref, g_w_ref, g_a_ref = refs[29], refs[30], refs[31]
-    dW_core = refs[32:44]
-    dWcat_ref = refs[44]
-    dB_refs = refs[45:57]
-    drays_ref, gz_ref = refs[57], refs[58]
+    W = tuple(w[:] for w in refs[0:14])
+    B = tuple(b[:] for b in refs[14:26])
+    wcat72 = refs[26][:]
+    g_perray_ref, g_w_ref, g_a_ref = refs[27], refs[28], refs[29]
+    dW_core = refs[30:42]
+    dWcat_ref = refs[42]
+    dB_refs = refs[43:55]
+    drays_ref, gz_ref = refs[55], refs[56]
     dW14 = _dw14(dW_core)
 
     z_all = z_ref[:]
@@ -595,7 +580,7 @@ def _render_bwd_kernel(cfg: NerfConfig, dist_alpha: bool, nchain: int,
         rgb_raw, sig_raw, acts = _fwd_tail(x0, pe4, de, W, B)
         alpha, occ, raw_rs, deltas = _alpha_forward(sig_raw, z_rs, R, S, cfg,
                                                     dist_alpha)
-        trans, weights, _ = _composite_forward(alpha, z_rs, ltS)
+        trans, weights, _ = _composite_forward(alpha, z_rs)
         rgb3 = jax.nn.sigmoid(rgb_raw).reshape(R, S, RAY_DIM)
         w3 = weights[:, :, None]                              # (R,S,1)
 
@@ -607,7 +592,7 @@ def _render_bwd_kernel(cfg: NerfConfig, dist_alpha: bool, nchain: int,
         # white background is applied OUTSIDE this kernel (render_nope_nerf),
         # so its gradient arrives through g_w_ref — white_bg stays False here.
         drays, g_z = _backward_tail(
-            cfg, dist_alpha, R, S, ltT, enc_ctx, dF_all[sl],
+            cfg, dist_alpha, R, S, enc_ctx, dF_all[sl],
             de, acts, z_rs, rgb3, w3, alpha, occ, raw_rs, deltas,
             trans, weights, g_rgb_ray, g_dist, g_w_all[sl], g_a_all[sl],
             False, W, wcat72, dW14, dB_refs, dWcat_ref)
@@ -630,16 +615,15 @@ def _render_train_kernel(cfg: NerfConfig, dist_alpha: bool, rgb_p: int,
     _render_bwd_kernel tail verbatim (with zero incoming g_w/g_a).
     """
     R = RAYS_BWD
-    ltS, ltT = refs[0][:], refs[1][:]
-    W = tuple(w[:] for w in refs[2:16])
-    B = tuple(b[:] for b in refs[16:28])
-    wcat72 = refs[28][:]
-    tgt_ref = refs[29]
-    dW_core = refs[30:42]
-    dWcat_ref = refs[42]
-    dB_refs = refs[43:55]
-    drays_ref, gz_ref = refs[55], refs[56]
-    dtgt_ref, sums_ref = refs[57], refs[58]
+    W = tuple(w[:] for w in refs[0:14])
+    B = tuple(b[:] for b in refs[14:26])
+    wcat72 = refs[26][:]
+    tgt_ref = refs[27]
+    dW_core = refs[28:40]
+    dWcat_ref = refs[40]
+    dB_refs = refs[41:53]
+    drays_ref, gz_ref = refs[53], refs[54]
+    dtgt_ref, sums_ref = refs[55], refs[56]
     dW14 = _dw14(dW_core)
 
     z_all = z_ref[:]
@@ -675,7 +659,7 @@ def _render_train_kernel(cfg: NerfConfig, dist_alpha: bool, rgb_p: int,
         rgb_raw, sig_raw, acts = _fwd_tail(x0, pe4, de, W, B)
         alpha, occ, raw_rs, deltas = _alpha_forward(sig_raw, z_rs, R, S, cfg,
                                                     dist_alpha)
-        trans, weights, dist = _composite_forward(alpha, z_rs, ltS)
+        trans, weights, dist = _composite_forward(alpha, z_rs)
         rgb3 = jax.nn.sigmoid(rgb_raw).reshape(R, S, RAY_DIM)
         w3 = weights[:, :, None]                              # (R,S,1)
 
@@ -712,7 +696,7 @@ def _render_train_kernel(cfg: NerfConfig, dist_alpha: bool, rgb_p: int,
 
         # ---- shared backward tail (zero incoming g_w/g_a; white_bg folded) --
         drays, g_z = _backward_tail(
-            cfg, dist_alpha, R, S, ltT, enc_ctx, dF_all[sl],
+            cfg, dist_alpha, R, S, enc_ctx, dF_all[sl],
             de, acts, z_rs, rgb3, w3, alpha, occ, raw_rs, deltas,
             trans, weights, g_rgb_ray, g_dist, None, None,
             white_bg, W, wcat72, dW14, dB_refs, dWcat_ref)
@@ -756,7 +740,6 @@ def _raw_render_fwd(rays, z, weights, biases, cfg: NerfConfig,
         z = jnp.pad(z, ((0, pad), (0, 0)), constant_values=1.0)
     n = n0 + pad
     grid = (n // R,)
-    ltS, _ = (jnp.asarray(a) for a in _tri_masks_np(S))
     ov, de_enc, _dF, wcat72 = _encmajor_xla_inputs(rays, weights)
     w_specs = [_rep_spec(w.shape) for w in weights]
     b_specs = [_rep_spec(b.shape) for b in biases]
@@ -773,12 +756,11 @@ def _raw_render_fwd(rays, z, weights, biases, cfg: NerfConfig,
         grid=grid,
         in_specs=([pl.BlockSpec((2, R * ARG_ROWS), lambda i: (0, i),
                                 memory_space=pltpu.VMEM),
-                   _ray_tile_spec(S, R), _ray_tile_spec(DE_DIM, R),
-                   _rep_spec(ltS.shape)] + w_specs + b_specs
-                  + [_rep_spec(wcat72.shape)]),
+                   _ray_tile_spec(S, R), _ray_tile_spec(DE_DIM, R)]
+                  + w_specs + b_specs + [_rep_spec(wcat72.shape)]),
         out_specs=out_specs,
         out_shape=out_shape,
-    )(ov, z, de_enc, ltS, *weights, *biases, wcat72)
+    )(ov, z, de_enc, *weights, *biases, wcat72)
     if want_aux:
         return outs[0][:n0], outs[1][:n0], outs[2][:n0]
     return outs[0][:n0], None, None
@@ -802,7 +784,6 @@ def _raw_render_bwd(rays, z, weights, biases, g_perray, g_w, g_a,
     R = RAYS_BWD * nchain
     grid = (n // R,)
     D = weights[1].shape[1]
-    ltS, ltT = (jnp.asarray(a) for a in _tri_masks_np(S))
     ov, de_enc, dF, wcat72 = _encmajor_xla_inputs(rays, weights,
                                                   ARG_ROWS_BWD)
     w_specs = [_rep_spec(w.shape) for w in weights]
@@ -826,14 +807,13 @@ def _raw_render_bwd(rays, z, weights, biases, g_perray, g_w, g_a,
         in_specs=([pl.BlockSpec((2, R * ARG_ROWS_BWD), lambda i: (0, i),
                                 memory_space=pltpu.VMEM),
                    _ray_tile_spec(S, R), _ray_tile_spec(DE_DIM, R),
-                   _ray_tile_spec(DE_DIM, R),
-                   _rep_spec(ltS.shape), _rep_spec(ltT.shape)]
+                   _ray_tile_spec(DE_DIM, R)]
                   + w_specs + b_specs + [_rep_spec(wcat72.shape)]
                   + [_ray_tile_spec(RAY_DIM, R), _ray_tile_spec(S, R),
                      _ray_tile_spec(S, R)]),
         out_specs=out_specs,
         out_shape=out_shapes,
-    )(ov, z, de_enc, dF, ltS, ltT, *weights, *biases, wcat72,
+    )(ov, z, de_enc, dF, *weights, *biases, wcat72,
       g_perray, g_w, g_a)
     dW_core = outs[:12]
     dWcat = outs[12]
@@ -967,7 +947,6 @@ def _raw_render_train(rays, z, tgt, weights, biases, cfg: NerfConfig,
     R = RAYS_BWD * nchain
     grid = (n // R,)
     D = weights[1].shape[1]
-    ltS, ltT = (jnp.asarray(a) for a in _tri_masks_np(S))
     ov, de_enc, dF, wcat72 = _encmajor_xla_inputs(rays, weights,
                                                   ARG_ROWS_BWD)
     w_specs = [_rep_spec(w.shape) for w in weights]
@@ -995,13 +974,12 @@ def _raw_render_train(rays, z, tgt, weights, biases, cfg: NerfConfig,
         in_specs=([pl.BlockSpec((2, R * ARG_ROWS_BWD), lambda i: (0, i),
                                 memory_space=pltpu.VMEM),
                    _ray_tile_spec(S, R), _ray_tile_spec(DE_DIM, R),
-                   _ray_tile_spec(DE_DIM, R),
-                   _rep_spec(ltS.shape), _rep_spec(ltT.shape)]
+                   _ray_tile_spec(DE_DIM, R)]
                   + w_specs + b_specs + [_rep_spec(wcat72.shape)]
                   + [_ray_tile_spec(RAY_DIM, R)]),
         out_specs=out_specs,
         out_shape=out_shapes,
-    )(ov, z, de_enc, dF, ltS, ltT, *weights, *biases, wcat72, tgt)
+    )(ov, z, de_enc, dF, *weights, *biases, wcat72, tgt)
     dW_core = outs[:12]
     dWcat = outs[12]
     dBs = outs[13:25]
