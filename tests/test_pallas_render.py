@@ -309,3 +309,34 @@ def test_noaux_vjp_gradients_flow():
     with pltpu.force_tpu_interpret_mode():
         g = jax.grad(f)(params)
     assert all(np.isfinite(np.asarray(v)).all() for v in g.values())
+
+
+def test_lane_scan_helpers_match_cumsum():
+    """The composite's f32 Hillis-Steele lane scans (round 5 — they replaced
+    an MXU matmul that Mosaic silently truncated to bf16 on hardware) must
+    match exclusive cumsum to f32-reassociation accuracy, for both the
+    power-of-2 default S and a non-power-of-2 width."""
+    from jax.experimental import pallas as pl
+
+    from nope_nerf_tpu.ops.pallas_render import (_lane_prefix_exclusive,
+                                                 _lane_suffix_exclusive)
+
+    rng = np.random.RandomState(0)
+    for S in (128, 96):
+        x = rng.randn(8, S).astype(np.float32)
+
+        def kp(x_ref, o_ref):
+            o_ref[:] = _lane_prefix_exclusive(x_ref[:])
+
+        def ks(x_ref, o_ref):
+            o_ref[:] = _lane_suffix_exclusive(x_ref[:])
+
+        with pltpu.force_tpu_interpret_mode():
+            p = pl.pallas_call(kp, out_shape=jax.ShapeDtypeStruct(
+                x.shape, jnp.float32))(x)
+            s = pl.pallas_call(ks, out_shape=jax.ShapeDtypeStruct(
+                x.shape, jnp.float32))(x)
+        pref = np.cumsum(x.astype(np.float64), 1) - x
+        suff = np.cumsum(x[:, ::-1].astype(np.float64), 1)[:, ::-1] - x
+        np.testing.assert_allclose(np.asarray(p), pref, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(s), suff, atol=2e-5)
