@@ -28,6 +28,16 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def mm_exact(a: jax.Array, b: jax.Array) -> jax.Array:
+    """f32-exact matmul for small pose/geometry products. TPU f32 matmuls
+    DEFAULT to ONE bf16 MXU pass — inputs truncated to 8 significand bits
+    (probed: (1+2^-10) @ I == 1.0; scripts/probe_mosaic_numerics.py) — which
+    left ray directions ~9e-4 and lifted point clouds ~4e-3 off f32 truth
+    before round 5 pinned every composition. HIGHEST is 6 passes of a single
+    trivial tile at these 4x4 / (N,3)x(3,3) shapes: unmeasurable cost."""
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+
+
 @functools.lru_cache(maxsize=32)
 def _pixel_grid_np(resolution: Tuple[int, int],
                    image_range: Tuple[float, float],
@@ -76,7 +86,7 @@ def rigid_inverse(T: jax.Array) -> jax.Array:
     R = T[..., :3, :3]
     t = T[..., :3, 3:]
     Rt = jnp.swapaxes(R, -1, -2)
-    top = jnp.concatenate([Rt, -(Rt @ t)], axis=-1)
+    top = jnp.concatenate([Rt, -mm_exact(Rt, t)], axis=-1)
     return jnp.concatenate([top, T[..., 3:4, :]], axis=-2)
 
 
@@ -135,7 +145,7 @@ def _compose_cam_to_world(camera_mat: jax.Array, world_mat: jax.Array,
         camera_mat = diag4_inverse(camera_mat)
         world_mat = rigid_inverse(world_mat)
         scale_mat = diag4_inverse(scale_mat)
-    return scale_mat @ world_mat @ camera_mat
+    return mm_exact(mm_exact(scale_mat, world_mat), camera_mat)
 
 
 def transform_to_world(pixels: jax.Array, depth: jax.Array, camera_mat: jax.Array,
@@ -167,7 +177,7 @@ def origin_to_world(camera_mat: jax.Array, world_mat: jax.Array,
     """
     P = _compose_cam_to_world(camera_mat, world_mat, scale_mat, invert)
     origin = jnp.zeros((4,), dtype=camera_mat.dtype).at[3].set(1.0)
-    return (P @ origin)[:3]
+    return mm_exact(P, origin[:, None])[:3, 0]
 
 
 def image_points_to_world(pixels: jax.Array, camera_mat: jax.Array,
@@ -185,7 +195,7 @@ def transform_to_camera_space(p_world: jax.Array, camera_mat: jax.Array,
     """World points (N, 3) -> camera space (N, 3) (`model/common.py:163-183`)."""
     if scale_mat is None:
         scale_mat = jnp.eye(4, dtype=p_world.dtype)
-    M = camera_mat @ world_mat @ scale_mat
+    M = mm_exact(mm_exact(camera_mat, world_mat), scale_mat)
     hom = jnp.concatenate([p_world, jnp.ones_like(p_world[:, :1])], axis=-1)
     return jnp.matmul(hom, M.T, precision=jax.lax.Precision.HIGHEST)[:, :3]
 
@@ -200,7 +210,7 @@ def rays_from_pixels(pixels: jax.Array, camera_mat: jax.Array, world_mat: jax.Ar
     `normalise_ray` switch (`model/rendering.py:59-65`).
     """
     P = _compose_cam_to_world(camera_mat, world_mat, scale_mat, invert=True)
-    origin = (P @ jnp.zeros((4,), camera_mat.dtype).at[3].set(1.0))[:3]
+    origin = mm_exact(P, jnp.zeros((4, 1), camera_mat.dtype).at[3, 0].set(1.0))[:3, 0]
     hom = jnp.concatenate(
         [pixels, jnp.ones_like(pixels[:, :1]), jnp.ones_like(pixels[:, :1])], axis=-1)
     pixels_world = jnp.matmul(hom, P.T,
@@ -230,7 +240,9 @@ def reprojection(pixels: jax.Array, depth: jax.Array, Rt_ref: jax.Array,
     Returns ([-1,1] xy (N,2), valid float mask (N,1)). Reference: common.py:405-435."""
     d = depth.reshape(-1, 1)
     hom = jnp.concatenate([pixels * d, d, jnp.ones_like(d)], axis=-1)
-    M = camera_mat @ Rt_ref @ rigid_inverse(world_mat) @ diag4_inverse(camera_mat)
+    M = mm_exact(mm_exact(mm_exact(camera_mat, Rt_ref),
+                          rigid_inverse(world_mat)),
+                 diag4_inverse(camera_mat))
     xy = jnp.matmul(hom, M.T, precision=jax.lax.Precision.HIGHEST)[:, :3]
     xy = xy[:, :2] / xy[:, 2:]
     valid = (jnp.max(jnp.abs(xy), axis=-1) <= 1.0)[:, None].astype(pixels.dtype)

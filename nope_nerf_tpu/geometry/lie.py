@@ -36,7 +36,9 @@ def exp_so3(r: jax.Array) -> jax.Array:
     sq = jnp.sum(r * r, axis=-1)[..., None, None]
     norm = jnp.sqrt(jnp.maximum(sq, 1e-12))
     eye = jnp.broadcast_to(jnp.eye(3, dtype=r.dtype), skew.shape)
-    skew2 = skew @ skew
+    # HIGHEST: TPU f32 matmuls default to one bf16 pass (see
+    # geometry/camera.mm_exact) — a quantized R poisons pose training
+    skew2 = jnp.matmul(skew, skew, precision=jax.lax.Precision.HIGHEST)
     return eye + (jnp.sin(norm) / norm) * skew + ((1.0 - jnp.cos(norm)) / norm**2) * skew2
 
 

@@ -61,7 +61,8 @@ def pose_c2w(params: Params, cam_id: jax.Array, cfg: PoseConfig) -> jax.Array:
     r, t = _gated(params, cfg)
     c2w = make_c2w(r[cam_id], t[cam_id])
     if cfg.use_init_c2w:
-        c2w = c2w @ jax.lax.stop_gradient(params["init_c2w"])[cam_id]
+        c2w = jnp.matmul(c2w, jax.lax.stop_gradient(params["init_c2w"])[cam_id],
+                         precision=jax.lax.Precision.HIGHEST)
     return c2w
 
 
@@ -71,7 +72,8 @@ def pose_c2w_all(params: Params, cfg: PoseConfig) -> jax.Array:
     r, t = _gated(params, cfg)
     c2ws = jax.vmap(make_c2w)(r, t)
     if cfg.use_init_c2w:
-        c2ws = c2ws @ jax.lax.stop_gradient(params["init_c2w"])
+        c2ws = jnp.matmul(c2ws, jax.lax.stop_gradient(params["init_c2w"]),
+                          precision=jax.lax.Precision.HIGHEST)
     return c2ws
 
 

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 
 from ..geometry.camera import (
     camera_matrix_from_focal,
+    mm_exact,
     pixel_grid,
     project_to_cam,
     rigid_inverse,
@@ -371,10 +372,10 @@ def compute_step_loss(params: Dict[str, Any], batch: Dict[str, jax.Array],
         d2 = sel(depth_ref, depth_input)
         img1 = sel(img, ref_img)
         img2 = sel(ref_img, img)
-        Rt_rel_12 = sel(ref_Rt @ rigid_inverse(world_mat),
-                        world_mat @ rigid_inverse(ref_Rt))
-        Rt_rel_12_gt = sel(ref_Rt_gt @ rigid_inverse(world_mat_gt),
-                           world_mat_gt @ rigid_inverse(ref_Rt_gt))
+        Rt_rel_12 = sel(mm_exact(ref_Rt, rigid_inverse(world_mat)),
+                        mm_exact(world_mat, rigid_inverse(ref_Rt)))
+        Rt_rel_12_gt = sel(mm_exact(ref_Rt_gt, rigid_inverse(world_mat_gt)),
+                           mm_exact(world_mat_gt, rigid_inverse(ref_Rt_gt)))
         scale1 = sel(scale_in, scale_ref)
         R_rel = Rt_rel_12[:3, :3]
         t_rel = Rt_rel_12[:3, 3]
@@ -401,7 +402,7 @@ def compute_step_loss(params: Dict[str, Any], batch: Dict[str, jax.Array],
                 rgb_pc1 = get_tensor_values(img1s, p_pc, mode="bilinear",
                                             scale=False, align_corners=True)
             pc1_base = jax.lax.stop_gradient(pc1) if mc.detach_rgbs_scale else pc1
-            pc1_rot = pc1_base @ R_rel.T + t_rel
+            pc1_rot = mm_exact(pc1_base, R_rel.T) + t_rel
             invalid = (-pc1_rot[:, 2:]) < nl  # in front of / too close to cam 2
             pc1_rot = jnp.where(jnp.broadcast_to(invalid, pc1_rot.shape),
                                 jnp.asarray(nl, img.dtype), pc1_rot)
@@ -419,7 +420,7 @@ def compute_step_loss(params: Dict[str, Any], batch: Dict[str, jax.Array],
             pc2 = pc2 / scale1
 
         loss_kwargs.update(
-            pc_x=pc1 @ R_rel.T + t_rel,
+            pc_x=mm_exact(pc1, R_rel.T) + t_rel,
             pc_y=pc2,
             rt_12=Rt_rel_12,
             rt_12_gt=Rt_rel_12_gt,
@@ -869,8 +870,8 @@ class Trainer:
         d1 = depth if fwd else depth_ref
         img1 = img if fwd else ref_img
         img2 = ref_img if fwd else img
-        Rt_rel = (ref_Rt @ rigid_inverse(world_mat) if fwd
-                  else world_mat @ rigid_inverse(ref_Rt))
+        Rt_rel = (mm_exact(ref_Rt, rigid_inverse(world_mat)) if fwd
+                  else mm_exact(world_mat, rigid_inverse(ref_Rt)))
 
         sh_res = (h // mc.pc_ratio, w // mc.pc_ratio)
         _, p_pc = pixel_grid(sh_res, dtype=img.dtype)
@@ -880,7 +881,7 @@ class Trainer:
         img2s = resize_bilinear(img2, sh_res)
         rgb_pc1 = get_tensor_values(img1s, p_pc, mode="bilinear", scale=False,
                                     align_corners=True)
-        pc1_rot = pc1 @ Rt_rel[:3, :3].T + Rt_rel[:3, 3]
+        pc1_rot = mm_exact(pc1, Rt_rel[:3, :3].T) + Rt_rel[:3, 3]
         invalid = (-pc1_rot[:, 2:]) < nl
         pc1_rot = jnp.where(jnp.broadcast_to(invalid, pc1_rot.shape), nl, pc1_rot)
         p_reproj, valid = project_to_cam(pc1_rot, camera_mat)
