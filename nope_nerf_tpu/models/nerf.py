@@ -143,12 +143,18 @@ def reset_linear_params(key: jax.Array, params: Params, cfg: NerfConfig) -> Para
 
 
 def _matmul(x: jax.Array, w: jax.Array, b: jax.Array, cfg: NerfConfig) -> jax.Array:
-    """x @ w + b with optional bf16 operands and fp32 accumulation (MXU-native)."""
+    """x @ w + b with optional bf16 operands and fp32 accumulation (MXU-native).
+
+    The float32 branch pins HIGHEST: a default-precision f32 matmul on TPU is
+    ONE bf16 MXU pass (inputs truncated to 8 significand bits — see
+    scripts/probe_mosaic_numerics.py), which would silently make
+    compute_dtype="float32" identical to "bfloat16". Users choosing f32 mode
+    are buying precision; speed is what the bfloat16 mode is for."""
     if cfg.compute_dtype == "bfloat16":
         y = jax.lax.dot(x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
                         preferred_element_type=jnp.float32)
     else:
-        y = x @ w
+        y = jnp.matmul(x, w, precision=jax.lax.Precision.HIGHEST)
     return y + b
 
 
