@@ -271,6 +271,10 @@ def train(cfg: dict, synthetic: bool = False, max_epochs: Optional[int] = None):
                 # the final checkpoint records the last COMPLETED epoch (otherwise
                 # a resumed run silently skips one epoch).
                 epoch_it -= 1
+                if it == int(state.it):  # resumed past max_epochs: nothing ran
+                    print(f"checkpoint is already at epoch {epoch_it} >= "
+                          f"--max-epochs {max_epochs}; nothing to train "
+                          f"(delete {out_dir} or raise --max-epochs to rerun)")
                 break
             l2_epoch = []
             trainer.update_occupancy(state, epoch_it)  # no-op unless enabled
