@@ -263,6 +263,7 @@ def train(cfg: dict, synthetic: bool = False, max_epochs: Optional[int] = None):
 
     t0b = time.time()
     psnr = 0.0
+    epoch_at_start = epoch_it
     try:
         while epoch_it < (scheduling_start + scheduling_epoch):
             epoch_it += 1
@@ -271,7 +272,7 @@ def train(cfg: dict, synthetic: bool = False, max_epochs: Optional[int] = None):
                 # the final checkpoint records the last COMPLETED epoch (otherwise
                 # a resumed run silently skips one epoch).
                 epoch_it -= 1
-                if it == int(state.it):  # resumed past max_epochs: nothing ran
+                if epoch_it == epoch_at_start:  # resumed past max_epochs:
                     print(f"checkpoint is already at epoch {epoch_it} >= "
                           f"--max-epochs {max_epochs}; nothing to train "
                           f"(delete {out_dir} or raise --max-epochs to rerun)")
